@@ -1,0 +1,269 @@
+"""Input encodings: spherical harmonics, frequency (NeRF PE), and the
+Instant-NGP multiresolution hash grid.
+
+TPU-native counterpart of the reference's ``models/encodings.py``. The
+reference pairs each encoder with a tiny-cuda-nn CUDA fast path and a
+pure-torch fallback; here SH and frequency are plain ``jnp`` polynomials (XLA
+fuses them into the surrounding MLP) and the hash grid has a pure-``jnp``
+implementation (the correctness oracle, math identical to the reference torch
+fallback at encodings.py:308-381) plus a Pallas TPU kernel in
+``acn_tpu.ops.hashgrid`` for the hot path.
+
+Everything here is functional: encoders are (config, params, x) → features.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jnp.ndarray
+
+# ============================ spherical harmonics ============================
+
+MAX_SH_DEGREE = 4
+
+
+def num_sh_bases(degree: int) -> int:
+    assert degree <= MAX_SH_DEGREE, f"degree > {MAX_SH_DEGREE} unsupported"
+    return (degree + 1) ** 2
+
+
+def components_from_spherical_harmonics(degree: int, directions: Array) -> Array:
+    """Real SH components up to ``degree`` for unit directions (..., 3).
+
+    Same basis polynomials as the reference (encodings.py:27-81, which follow
+    Nerfstudio). Returns (..., (degree+1)^2).
+    """
+    assert 0 <= degree <= MAX_SH_DEGREE
+    x, y, z = directions[..., 0], directions[..., 1], directions[..., 2]
+    xx, yy, zz = x * x, y * y, z * z
+
+    comps = [jnp.full(x.shape, 0.28209479177387814, directions.dtype)]
+    if degree > 0:
+        comps += [
+            0.4886025119029199 * y,
+            0.4886025119029199 * z,
+            0.4886025119029199 * x,
+        ]
+    if degree > 1:
+        comps += [
+            1.0925484305920792 * x * y,
+            1.0925484305920792 * y * z,
+            0.9461746957575601 * zz - 0.31539156525251999,
+            1.0925484305920792 * x * z,
+            0.5462742152960396 * (xx - yy),
+        ]
+    if degree > 2:
+        comps += [
+            0.5900435899266435 * y * (3 * xx - yy),
+            2.890611442640554 * x * y * z,
+            0.4570457994644658 * y * (5 * zz - 1),
+            0.3731763325901154 * z * (5 * zz - 3),
+            0.4570457994644658 * x * (5 * zz - 1),
+            1.445305721320277 * z * (xx - yy),
+            0.5900435899266435 * x * (xx - 3 * yy),
+        ]
+    if degree > 3:
+        comps += [
+            2.5033429417967046 * x * y * (xx - yy),
+            1.7701307697799304 * y * z * (3 * xx - yy),
+            0.9461746957575601 * x * y * (7 * zz - 1),
+            0.6690465435572892 * y * z * (7 * zz - 3),
+            0.10578554691520431 * (35 * zz * zz - 30 * zz + 3),
+            0.6690465435572892 * x * z * (7 * zz - 3),
+            0.47308734787878004 * (xx - yy) * (7 * zz - 1),
+            1.7701307697799304 * x * z * (xx - 3 * yy),
+            0.6258357354491761 * (xx * (xx - 3 * yy) - yy * (3 * xx - yy)),
+        ]
+    return jnp.stack(comps, axis=-1)
+
+
+def sh_encode(d: Array, levels: int = 4) -> Array:
+    """SH encoding of (possibly unnormalized) directions.
+
+    ``levels`` SH levels ⇒ degree = levels − 1, out dim = levels².
+    Normalizes inside (reference encodings.py:133-151).
+    """
+    if levels <= 0 or levels > MAX_SH_DEGREE + 1:
+        raise ValueError(f"Supported levels ∈ [1, {MAX_SH_DEGREE + 1}], got {levels}")
+    norm = jnp.clip(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-9)
+    d = d / norm
+    return components_from_spherical_harmonics(levels - 1, d)
+
+
+def sh_out_dim(levels: int) -> int:
+    return levels**2
+
+
+# ============================ frequency encoding ============================
+
+
+def frequency_encode(
+    x: Array,
+    pe_dim: int,
+    include_input: bool = True,
+    use_pi: bool = False,
+) -> Array:
+    """NeRF positional encoding (reference encodings.py:437-444):
+    concat([x?], cos(2^k x), sin(2^k x)) over k < pe_dim, per input dim.
+
+    Note the reference concatenates cos *before* sin per dim; kept identical.
+    """
+    bands = 2.0 ** jnp.arange(pe_dim, dtype=x.dtype)
+    xin = x * (math.pi if use_pi else 1.0)
+    x_exp = xin[..., None] * bands  # (..., D, L)
+    pe = jnp.concatenate([jnp.cos(x_exp), jnp.sin(x_exp)], axis=-1)
+    pe = pe.reshape(*x.shape[:-1], -1)
+    return jnp.concatenate([x, pe], axis=-1) if include_input else pe
+
+
+def frequency_out_dim(in_dim: int, pe_dim: int, include_input: bool = True) -> int:
+    return in_dim * (2 * pe_dim + (1 if include_input else 0))
+
+
+# ============================ hash grid encoding ============================
+
+# Instant-NGP 3D spatial hash primes (public constants; also used by the
+# reference torch fallback, encodings.py:271-274). uint32 wraparound keeps the
+# low log2_hashmap_size bits identical to the reference's int64 arithmetic.
+HASH_PRIMES = (1, 2654435761, 805459861)
+
+
+@dataclass(frozen=True)
+class HashGridConfig:
+    """Hyperparameters mirroring the reference HashGridEncoder
+    (encodings.py:180-215)."""
+
+    levels: int = 16
+    min_res: int = 16
+    max_res: int = 4096
+    log2_hashmap_size: int = 19
+    features_per_level: int = 2
+    hash_init_scale: float = 1e-3
+    interpolation: str = "Linear"  # "Linear" | "Nearest" | "Smoothstep"
+    backend: str = "auto"  # "auto" | "jnp" | "pallas"
+
+    @property
+    def table_size(self) -> int:
+        return 2**self.log2_hashmap_size
+
+    @property
+    def out_dim(self) -> int:
+        return self.levels * self.features_per_level
+
+    @property
+    def growth_factor(self) -> float:
+        if self.levels <= 1:
+            return 1.0
+        return float(
+            math.exp((math.log(self.max_res) - math.log(self.min_res)) / (self.levels - 1))
+        )
+
+    def level_resolutions(self) -> np.ndarray:
+        """Per-level integer resolutions N_l = ⌊N_min · g^l⌋ (encodings.py:204-215)."""
+        ls = np.arange(self.levels, dtype=np.float64)
+        return np.floor(self.min_res * (self.growth_factor**ls)).astype(np.int32)
+
+
+def init_hash_table(key: jax.Array, cfg: HashGridConfig) -> Array:
+    """Uniform(-s, s) table of shape (levels · table_size, F), fp32
+    (reference encodings.py:264-268)."""
+    T = cfg.table_size * cfg.levels
+    return (
+        jax.random.uniform(key, (T, cfg.features_per_level), jnp.float32, -1.0, 1.0)
+        * cfg.hash_init_scale
+    )
+
+
+def _spatial_hash(ixyz: Array, log2_size: int) -> Array:
+    """3-prime XOR hash of integer coords → [0, 2^log2_size).
+
+    ixyz: (..., 3) non-negative int32. Computed in uint32: the wraparound
+    preserves the low ``log2_size`` bits of the reference's int64 math.
+    """
+    ix = ixyz[..., 0].astype(jnp.uint32)
+    iy = ixyz[..., 1].astype(jnp.uint32)
+    iz = ixyz[..., 2].astype(jnp.uint32)
+    h = (
+        ix * jnp.uint32(HASH_PRIMES[0])
+        ^ iy * jnp.uint32(HASH_PRIMES[1])
+        ^ iz * jnp.uint32(HASH_PRIMES[2])
+    )
+    return (h & jnp.uint32(2**log2_size - 1)).astype(jnp.int32)
+
+
+def hash_encode_jnp(table: Array, x01: Array, cfg: HashGridConfig) -> Array:
+    """Pure-jnp multiresolution hash encoding — the correctness oracle.
+
+    x01: (..., 3) in [0, 1]. Returns (..., levels · F). Math is identical to
+    the reference torch fallback (encodings.py:331-381): per level, scale by
+    the level resolution, gather the 8 corner features by spatial hash, and
+    tri-lerp (Linear), smoothstep the weights (Smoothstep) or round (Nearest).
+    """
+    L, F = cfg.levels, cfg.features_per_level
+    res = jnp.asarray(cfg.level_resolutions(), x01.dtype)  # (L,)
+    scaled = x01[..., None, :] * res[:, None]  # (..., L, 3)
+
+    if cfg.interpolation == "Nearest":
+        idx = jnp.round(scaled).astype(jnp.int32)
+        h = _spatial_hash(idx, cfg.log2_hashmap_size)
+        offs = jnp.arange(L, dtype=jnp.int32) * cfg.table_size
+        feats = table[h + offs]
+        return feats.reshape(*x01.shape[:-1], L * F)
+
+    floor = jnp.floor(scaled)
+    frac = scaled - floor
+    floor_i = floor.astype(jnp.int32)
+
+    offs = jnp.arange(L, dtype=jnp.int32) * cfg.table_size  # (L,)
+
+    def corner(dx, dy, dz):
+        c = floor_i + jnp.array([dx, dy, dz], jnp.int32)
+        h = _spatial_hash(c, cfg.log2_hashmap_size)  # (..., L)
+        return table[h + offs]  # (..., L, F)
+
+    f000 = corner(0, 0, 0)
+    f001 = corner(0, 0, 1)
+    f010 = corner(0, 1, 0)
+    f011 = corner(0, 1, 1)
+    f100 = corner(1, 0, 0)
+    f101 = corner(1, 0, 1)
+    f110 = corner(1, 1, 0)
+    f111 = corner(1, 1, 1)
+
+    wx = frac[..., 0:1]
+    wy = frac[..., 1:2]
+    wz = frac[..., 2:3]
+    if cfg.interpolation == "Smoothstep":
+        wx = wx * wx * (3 - 2 * wx)
+        wy = wy * wy * (3 - 2 * wy)
+        wz = wz * wz * (3 - 2 * wz)
+
+    c00 = f000 * (1 - wx) + f100 * wx
+    c01 = f001 * (1 - wx) + f101 * wx
+    c10 = f010 * (1 - wx) + f110 * wx
+    c11 = f011 * (1 - wx) + f111 * wx
+    c0 = c00 * (1 - wy) + c10 * wy
+    c1 = c01 * (1 - wy) + c11 * wy
+    feats = c0 * (1 - wz) + c1 * wz  # (..., L, F)
+    return feats.reshape(*x01.shape[:-1], L * F)
+
+
+def hash_encode(table: Array, x01: Array, cfg: HashGridConfig) -> Array:
+    """Dispatch between the jnp oracle and the Pallas TPU kernel."""
+    backend = cfg.backend
+    if backend == "auto":
+        backend = "jnp"  # Pallas kernel opts in explicitly until proven faster
+    if backend == "jnp":
+        return hash_encode_jnp(table, x01, cfg)
+    if backend == "pallas":
+        from acn_tpu.ops.hashgrid import hash_encode_pallas
+
+        return hash_encode_pallas(table, x01, cfg)
+    raise ValueError(f"Unknown hash backend {backend!r}")
