@@ -1,0 +1,320 @@
+"""Multi-level occupancy grids with static-shape ray marching.
+
+TPU-native replacement for nerfacc's ``OccGridEstimator`` (used by the
+reference at models/inr/meta_ngp.py:126-443) and its packed ragged sampling
+(reference nerfs/ray_rendering.py:477-487). Design changes for XLA:
+
+* the grid is a dense pytree of arrays — EMA values ``occs`` and boolean
+  ``binaries`` of shape ``(levels, R, R, R)`` — updated by a jitted EMA step
+  (no CUDA kernels, no dynamic cell lists);
+* camera-visibility premarking (``mark_invisible_cells``) is a vectorized
+  frustum test over all cell centers (reference meta_ngp.py:260-353 calls
+  nerfacc's CUDA version; the math is identical);
+* ray marching emits a **fixed** ``(N, S)`` sample layout with a validity
+  mask instead of variable-length packed tensors: a closed-form cone-scaled
+  t-schedule generates ``S_max`` candidates, occupancy lookups mask them, and
+  a stable-sort compaction keeps the first ``S_kept`` valid samples per ray.
+  Static shapes everywhere ⇒ the whole render path jit-compiles once.
+
+Level l covers the roi AABB scaled by 2^l around its center (nerfacc
+semantics). ``occs < 0`` marks camera-invisible cells which are excluded from
+updates and always unoccupied.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jnp.ndarray
+
+
+@dataclass(frozen=True)
+class OccConfig:
+    """Occupancy hyperparameters. Defaults mirror the occ_conf dict assembled
+    by the reference runner (nerf_runner.py:102-148) and MetaNGP's defaults
+    (meta_ngp.py:102-141)."""
+
+    resolution: int = 128
+    levels: int = 4
+    occ_thre: float = 1e-2
+    ema_decay: float = 0.95
+    warmup_steps: int = 256
+    update_interval: int = 16
+    alpha_thre: float = 1e-2
+    alpha_thre_start: float = 0.0
+    cosine_anneal: bool = True
+    cone_angle: float = 1.0 / 256.0
+    near_plane: float = 0.05
+    far_plane: float = 1e3
+    render_step_size: Optional[float] = None  # None ⇒ diag(roi)/1000
+
+    def step_size_for(self, aabb) -> float:
+        if self.render_step_size is not None:
+            return float(self.render_step_size)
+        ext = np.asarray(aabb[1]) - np.asarray(aabb[0])
+        return float(np.linalg.norm(ext) / 1000.0)
+
+
+def level_aabbs(roi_aabb: Array, levels: int) -> Array:
+    """(levels, 2, 3): level l = roi scaled by 2^l around its center."""
+    c = 0.5 * (roi_aabb[0] + roi_aabb[1])
+    half = 0.5 * (roi_aabb[1] - roi_aabb[0])
+    scales = 2.0 ** jnp.arange(levels, dtype=jnp.float32)
+    mins = c[None, :] - half[None, :] * scales[:, None]
+    maxs = c[None, :] + half[None, :] * scales[:, None]
+    return jnp.stack([mins, maxs], axis=1)
+
+
+def init_occ_state(roi_aabb: Array, cfg: OccConfig) -> Dict[str, Any]:
+    """Fresh occupancy state for one expert."""
+    R, L = cfg.resolution, cfg.levels
+    return {
+        "occs": jnp.zeros((L, R, R, R), jnp.float32),
+        "binaries": jnp.zeros((L, R, R, R), jnp.bool_),
+        "aabbs": level_aabbs(jnp.asarray(roi_aabb, jnp.float32), L),
+    }
+
+
+def cell_centers(state: Dict[str, Any], cfg: OccConfig) -> Array:
+    """(L, R³, 3) world-space cell centers per level."""
+    R, L = cfg.resolution, cfg.levels
+    idx = jnp.stack(
+        jnp.meshgrid(*([jnp.arange(R)] * 3), indexing="ij"), axis=-1
+    ).reshape(-1, 3)  # (R³, 3) integer coords
+    u = (idx.astype(jnp.float32) + 0.5) / R  # cell-center unit coords
+    aabbs = state["aabbs"]  # (L, 2, 3)
+    return aabbs[:, 0][:, None, :] + u[None, :, :] * (
+        aabbs[:, 1] - aabbs[:, 0]
+    )[:, None, :]
+
+
+def _anneal_alpha_thre(cfg: OccConfig, step) -> Array:
+    """Alpha-threshold ramp start→end over warmup (reference
+    meta_ngp.py:244-258), as a traced value."""
+    t = jnp.clip(step / jnp.maximum(1, cfg.warmup_steps - 1), 0.0, 1.0)
+    if cfg.cosine_anneal:
+        mix = 0.5 * (1.0 - jnp.cos(jnp.pi * t))
+    else:
+        mix = t
+    return (1.0 - mix) * cfg.alpha_thre_start + mix * cfg.alpha_thre
+
+
+def update_occ_grid(
+    state: Dict[str, Any],
+    key: jax.Array,
+    density_fn: Callable[[Array], Array],  # (M, 3) world → (M,) σ
+    cfg: OccConfig,
+    step_size: float,
+) -> Dict[str, Any]:
+    """One EMA occupancy update over *all* cells.
+
+    nerfacc's ``update_every_n_steps`` EMA-updates sampled cells
+    (all cells during warmup); on TPU a full dense update is one fused
+    elementwise pass plus a batched density eval, so we always update
+    everything — simpler and deterministic.
+
+    occ ← max(occ · decay, σ(x_jitter) · step_size); binaries = occ > min(
+    occ_thre, mean(occ over visible cells)). Invisible cells (occ < 0) are
+    skipped and stay off.
+    """
+    L, R = cfg.levels, cfg.resolution
+    centers = cell_centers(state, cfg)  # (L, R³, 3)
+    cell_size = (state["aabbs"][:, 1] - state["aabbs"][:, 0]) / R  # (L, 3)
+
+    jitter = jax.random.uniform(key, centers.shape, minval=-0.5, maxval=0.5)
+    x = centers + jitter * cell_size[:, None, :]
+
+    sigma = density_fn(x.reshape(-1, 3)).reshape(L, R * R * R)
+    new_occ = sigma * step_size
+
+    occs = state["occs"].reshape(L, -1)
+    visible = occs >= 0.0
+    updated = jnp.maximum(occs * cfg.ema_decay, new_occ)
+    occs = jnp.where(visible, updated, occs)
+
+    mean_occ = jnp.sum(jnp.where(visible, occs, 0.0)) / jnp.maximum(
+        jnp.sum(visible), 1
+    )
+    # floor the threshold: occ = σ·Δ < 1e-6 ⇒ alpha < 1e-6, always skippable
+    # (also keeps the degenerate all-equal grid numerically stable)
+    thre = jnp.maximum(jnp.minimum(cfg.occ_thre, mean_occ), 1e-6)
+    binaries = occs > thre
+
+    return {
+        "occs": occs.reshape(L, R, R, R),
+        "binaries": binaries.reshape(L, R, R, R),
+        "aabbs": state["aabbs"],
+    }
+
+
+def mark_invisible_cells(
+    state: Dict[str, Any],
+    K_mats: Array,  # (C, 3, 3) intrinsics
+    c2w_rdf: Array,  # (C, 3, 4) camera-to-world, RDF camera basis
+    width: int,
+    height: int,
+    near_plane: float = 0.0,
+    cfg: OccConfig = OccConfig(),
+) -> Dict[str, Any]:
+    """Mark cells never seen by any camera with occ = −1 (one-time prune).
+
+    Vectorized frustum test replacing nerfacc's CUDA ``mark_invisible_cells``
+    (called at reference meta_ngp.py:319-353 with RUB→RDF-converted poses):
+    a cell is visible from a camera if its center projects inside the image
+    with depth > near_plane.
+    """
+    centers = cell_centers(state, cfg)  # (L, R³, 3)
+    L = centers.shape[0]
+    x = centers.reshape(-1, 3)  # (M, 3)
+
+    R_wc = c2w_rdf[:, :3, :3]  # (C, 3, 3) cam→world
+    t_wc = c2w_rdf[:, :3, 3]  # (C, 3)
+    # world→cam: x_c = Rᵀ (x − t)
+    rel = x[None, :, :] - t_wc[:, None, :]  # (C, M, 3)
+    x_cam = jnp.einsum("cij,cmi->cmj", R_wc, rel)  # (C, M, 3) (Rᵀ x = x·R)
+
+    z = x_cam[..., 2]  # RDF: +z is forward
+    uvw = jnp.einsum("cij,cmj->cmi", K_mats, x_cam)
+    u = uvw[..., 0] / jnp.where(jnp.abs(z) > 1e-9, z, 1e-9)
+    v = uvw[..., 1] / jnp.where(jnp.abs(z) > 1e-9, z, 1e-9)
+
+    seen = (
+        (z > near_plane) & (u >= 0) & (u < width) & (v >= 0) & (v < height)
+    )  # (C, M)
+    visible = jnp.any(seen, axis=0)  # (M,)
+
+    occs = state["occs"].reshape(-1)
+    occs = jnp.where(visible, occs, -1.0)
+    R_ = cfg.resolution
+    occs = occs.reshape(L, R_, R_, R_)
+    return {
+        "occs": occs,
+        "binaries": state["binaries"] & (occs >= 0),
+        "aabbs": state["aabbs"],
+    }
+
+
+# ============================ queries ============================
+
+
+def occupancy_lookup(state: Dict[str, Any], x: Array) -> Array:
+    """Occupied? for world points x (..., 3) using the finest level whose
+    AABB contains each point. Points outside all levels → False."""
+    aabbs = state["aabbs"]  # (L, 2, 3)
+    binaries = state["binaries"]  # (L, R, R, R)
+    L = binaries.shape[0]
+    R = binaries.shape[1]
+
+    occupied = jnp.zeros(x.shape[:-1], jnp.bool_)
+    assigned = jnp.zeros(x.shape[:-1], jnp.bool_)
+    for l in range(L):  # levels is small & static — unrolled
+        mn, mx = aabbs[l, 0], aabbs[l, 1]
+        u = (x - mn) / (mx - mn)
+        inside = jnp.all((u >= 0.0) & (u < 1.0), axis=-1)
+        idx = jnp.clip((u * R).astype(jnp.int32), 0, R - 1)
+        val = binaries[l, idx[..., 0], idx[..., 1], idx[..., 2]]
+        take = inside & ~assigned
+        occupied = jnp.where(take, val, occupied)
+        assigned = assigned | inside
+    return occupied
+
+
+# ============================ marching ============================
+
+
+def march_t_schedule(
+    near: Array,  # (N,)
+    far: Array,  # (N,)
+    step_size: float,
+    cone_angle: float,
+    s_max: int,
+    key: Optional[jax.Array] = None,
+) -> Tuple[Array, Array]:
+    """Closed-form cone-scaled t-schedule: t₀ = near, t_{k+1} = t_k +
+    max(Δ, c·t_k) — nerfacc's advance rule, vectorized without a scan.
+
+    For t < Δ/c steps are linear; afterwards geometric with ratio (1+c).
+    Returns (t0, t1) each (N, s_max); slots past ``far`` are clamped to far
+    (zero-length ⇒ zero alpha). Optional stratified jitter shifts the whole
+    schedule by u·Δ (training).
+    """
+    k = jnp.arange(s_max, dtype=jnp.float32)[None, :]  # (1, S)
+    near = near[:, None]
+    far_c = far[:, None]
+
+    if key is not None:
+        u = jax.random.uniform(key, near.shape, dtype=jnp.float32)
+        near = near + u * step_size
+
+    if cone_angle <= 0.0:
+        t0 = near + k * step_size
+        t1 = t0 + step_size
+    else:
+        c = cone_angle
+        t_switch = step_size / c  # where max() flips to the geometric regime
+        m = jnp.maximum(jnp.ceil((t_switch - near) / step_size), 0.0)  # (N, 1)
+        lin = near + k * step_size
+        t_m = near + m * step_size
+        geo = t_m * (1.0 + c) ** (k - m)
+        t0 = jnp.where(k <= m, lin, geo)
+        t1 = t0 + jnp.maximum(step_size, t0 * c)
+
+    t0 = jnp.minimum(t0, far_c)
+    t1 = jnp.minimum(t1, far_c)
+    return t0, t1
+
+
+def compact_samples(valid: Array, s_kept: int) -> Tuple[Array, Array]:
+    """Per-ray stable compaction: indices of the first ``s_kept`` valid
+    samples (N, s_kept) and their validity mask. Pure argsort — static shape."""
+    # stable sort keys: invalid→1 sorts after valid→0, ties keep t-order
+    order = jnp.argsort(jnp.logical_not(valid), axis=1, stable=True)
+    idx = order[:, :s_kept]
+    kept_valid = jnp.take_along_axis(valid, idx, axis=1)
+    return idx, kept_valid
+
+
+def march_rays(
+    state: Dict[str, Any],
+    rays: Array,  # (N, 8)
+    cfg: OccConfig,
+    step_size: float,
+    s_max: int,
+    s_kept: int,
+    key: Optional[jax.Array] = None,
+    extra_valid_fn: Optional[Callable[[Array], Array]] = None,
+) -> Dict[str, Array]:
+    """Occupancy-guided marching → fixed-layout samples.
+
+    Replaces nerfacc ``OccGridEstimator.sampling`` (reference
+    meta_ngp.py:389-443). Returns dict with t_starts/t_ends (N, s_kept),
+    positions (N, s_kept, 3), and mask (N, s_kept).
+
+    ``extra_valid_fn`` lets callers AND in additional per-point validity
+    (e.g. "any expert's occupancy" for the container path).
+    """
+    o, d = rays[:, :3], rays[:, 3:6]
+    near, far = rays[:, 6], rays[:, 7]
+    near = jnp.maximum(near, cfg.near_plane)
+    far = jnp.minimum(far, cfg.far_plane)
+    far = jnp.maximum(far, near)  # empty interval for invalid rays
+
+    t0, t1 = march_t_schedule(near, far, step_size, cfg.cone_angle, s_max, key)
+    t_mid = 0.5 * (t0 + t1)
+    x = o[:, None, :] + d[:, None, :] * t_mid[..., None]  # (N, S_max, 3)
+
+    valid = (t1 > t0) & occupancy_lookup(state, x)
+    if extra_valid_fn is not None:
+        valid = valid & extra_valid_fn(x)
+
+    idx, mask = compact_samples(valid, s_kept)
+    t0k = jnp.take_along_axis(t0, idx, axis=1)
+    t1k = jnp.take_along_axis(t1, idx, axis=1)
+    xk = jnp.take_along_axis(x, idx[..., None], axis=1)
+
+    return {"t_starts": t0k, "t_ends": t1k, "positions": xk, "mask": mask}

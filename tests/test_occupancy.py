@@ -1,0 +1,126 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from acn_tpu.nerfs import scene_box as sbox
+from acn_tpu.occupancy import grid as og
+from acn_tpu.occupancy.grid import OccConfig
+
+CFG = OccConfig(resolution=16, levels=2, occ_thre=1e-2, warmup_steps=4)
+AABB = sbox.make_aabb([-1, -1, -1], [1, 1, 1])
+
+
+def test_level_aabbs_doubling():
+    la = og.level_aabbs(AABB, 3)
+    np.testing.assert_allclose(la[0], AABB)
+    np.testing.assert_allclose(la[1], [[-2, -2, -2], [2, 2, 2]])
+    np.testing.assert_allclose(la[2], [[-4, -4, -4], [4, 4, 4]])
+
+
+def test_update_occ_grid_sphere_density():
+    """A density field occupying a ball ⇒ binaries on inside, off far outside."""
+    state = og.init_occ_state(AABB, CFG)
+
+    def density_fn(x):  # σ=50 inside radius 0.5 ball
+        r = jnp.linalg.norm(x, axis=-1)
+        return jnp.where(r < 0.5, 50.0, 0.0)
+
+    step_size = CFG.step_size_for(AABB)
+    state = og.update_occ_grid(state, jax.random.PRNGKey(0), density_fn, CFG, step_size)
+
+    # center cell occupied; corner of level-0 empty
+    occ_center = og.occupancy_lookup(state, jnp.array([[0.0, 0.0, 0.0]]))
+    occ_corner = og.occupancy_lookup(state, jnp.array([[0.9, 0.9, 0.9]]))
+    assert bool(occ_center[0])
+    assert not bool(occ_corner[0])
+    # outside all levels → False
+    occ_far = og.occupancy_lookup(state, jnp.array([[100.0, 0.0, 0.0]]))
+    assert not bool(occ_far[0])
+
+
+def test_ema_decay_drains_empty_cells():
+    state = og.init_occ_state(AABB, CFG)
+    dense = lambda x: jnp.full(x.shape[:-1], 100.0)
+    empty = lambda x: jnp.zeros(x.shape[:-1])
+    ss = CFG.step_size_for(AABB)
+    state = og.update_occ_grid(state, jax.random.PRNGKey(0), dense, CFG, ss)
+    assert bool(og.occupancy_lookup(state, jnp.zeros((1, 3)))[0])
+    upd = jax.jit(lambda s, k: og.update_occ_grid(s, k, empty, CFG, ss))
+    for i in range(280):  # decay below the 1e-6 threshold floor
+        state = upd(state, jax.random.PRNGKey(i))
+    assert not bool(og.occupancy_lookup(state, jnp.zeros((1, 3)))[0])
+
+
+def test_mark_invisible_cells():
+    state = og.init_occ_state(AABB, CFG)
+    # one camera at (0,0,5) in RDF looking along −z world (toward origin):
+    # cam axes: x→world x, y→world −y, z(forward)→world −z
+    R = jnp.array([[1.0, 0, 0], [0, -1.0, 0], [0, 0, -1.0]])
+    c2w = jnp.concatenate([R, jnp.array([[0.0], [0.0], [5.0]])], axis=1)[None]
+    # narrow fov (fx=500, 128px) ⇒ half-angle ≈ 7.3°: corners fall outside
+    K = jnp.array([[[500.0, 0, 64], [0, 500.0, 64], [0, 0, 1]]])
+    state2 = og.mark_invisible_cells(state, K, c2w, 128, 128, 0.1, CFG)
+    occs = np.asarray(state2["occs"])
+    assert (occs < 0).any() and (occs >= 0).any()
+    # cells directly in front of the camera (origin) remain visible
+    # find level-0 center cell
+    R_ = CFG.resolution
+    c = occs[0, R_ // 2, R_ // 2, R_ // 2]
+    assert c >= 0
+    # invisible cells never turn on
+    dense = lambda x: jnp.full(x.shape[:-1], 100.0)
+    state3 = og.update_occ_grid(
+        state2, jax.random.PRNGKey(0), dense, CFG, CFG.step_size_for(AABB)
+    )
+    bins = np.asarray(state3["binaries"]).reshape(-1)
+    occ_flags = np.asarray(state3["occs"]).reshape(-1)
+    assert not bins[occ_flags < 0].any()
+
+
+def test_march_t_schedule_linear():
+    near = jnp.array([1.0])
+    far = jnp.array([2.0])
+    t0, t1 = og.march_t_schedule(near, far, 0.1, 0.0, 16)
+    np.testing.assert_allclose(t0[0, :5], [1.0, 1.1, 1.2, 1.3, 1.4], rtol=1e-5)
+    np.testing.assert_allclose((t1 - t0)[0, :5], 0.1, rtol=1e-5)
+    # clamped past far → zero length
+    assert float((t1 - t0)[0, -1]) == 0.0
+
+
+def test_march_t_schedule_cone_growth():
+    near = jnp.array([0.01])
+    far = jnp.array([100.0])
+    t0, t1 = og.march_t_schedule(near, far, 0.01, 0.01, 512)
+    dt = np.asarray(t1 - t0)[0]
+    t0n = np.asarray(t0)[0]
+    # monotone t, step ≈ max(Δ, c·t)
+    assert np.all(np.diff(t0n) > 0)
+    np.testing.assert_allclose(dt, np.maximum(0.01, 0.01 * t0n), rtol=1e-4)
+
+
+def test_compact_samples():
+    valid = jnp.array([[False, True, False, True, True], [False] * 5])
+    idx, mask = og.compact_samples(valid, 3)
+    np.testing.assert_array_equal(idx[0], [1, 3, 4])
+    np.testing.assert_array_equal(mask[0], [True, True, True])
+    assert not bool(mask[1].any())
+
+
+def test_march_rays_end_to_end_sphere():
+    cfg = OccConfig(resolution=32, levels=1, cone_angle=0.0, near_plane=0.0)
+    state = og.init_occ_state(AABB, cfg)
+    density_fn = lambda x: jnp.where(jnp.linalg.norm(x, axis=-1) < 0.3, 100.0, 0.0)
+    ss = cfg.step_size_for(AABB)
+    state = og.update_occ_grid(state, jax.random.PRNGKey(0), density_fn, cfg, ss)
+
+    rays = jnp.array([[-2, 0, 0, 1, 0, 0, 0.0, 4.0]], dtype=jnp.float32)
+    out = og.march_rays(state, rays, cfg, ss, s_max=1024, s_kept=128)
+    mask = np.asarray(out["mask"])[0]
+    assert mask.any()
+    # all kept samples lie near the occupied ball (within a cell diagonal)
+    pts = np.asarray(out["positions"])[0][mask]
+    r = np.linalg.norm(pts, axis=-1)
+    assert (r < 0.3 + 2 * (2.0 / 32) * np.sqrt(3)).all()
+    # t sorted
+    t0 = np.asarray(out["t_starts"])[0][mask]
+    assert np.all(np.diff(t0) >= 0)
