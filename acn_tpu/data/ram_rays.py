@@ -10,6 +10,7 @@ exactly like the reference (ram_rays_dataset.py:170-191).
 
 from __future__ import annotations
 
+import multiprocessing
 import os
 from concurrent.futures import ProcessPoolExecutor
 from typing import List, Optional, Tuple
@@ -118,7 +119,11 @@ class RamRaysDataset:
         args = (center_pixels, val_balancing, aabb, near_far_override)
 
         if len(metadata_items) > 8 and num_workers > 1:
-            with ProcessPoolExecutor(max_workers=num_workers) as ex:
+            # spawn, not fork: the parent holds live JAX/TPU-client threads by
+            # the time datasets are built, and forking them deadlocks
+            # (the reference also spawns, ram_rays_dataset.py:175)
+            ctx = multiprocessing.get_context("spawn")
+            with ProcessPoolExecutor(max_workers=num_workers, mp_context=ctx) as ex:
                 results = ex.map(
                     process_single_image,
                     metadata_items,

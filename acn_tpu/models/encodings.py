@@ -198,7 +198,7 @@ def _spatial_hash(ixyz: Array, log2_size: int) -> Array:
     return (h & jnp.uint32(2**log2_size - 1)).astype(jnp.int32)
 
 
-def hash_encode_jnp(table: Array, x01: Array, cfg: HashGridConfig) -> Array:
+def _hash_encode_jnp_impl(table: Array, x01: Array, cfg: HashGridConfig) -> Array:
     """Pure-jnp multiresolution hash encoding — the correctness oracle.
 
     x01: (..., 3) in [0, 1]. Returns (..., levels · F). Math is identical to
@@ -221,38 +221,42 @@ def hash_encode_jnp(table: Array, x01: Array, cfg: HashGridConfig) -> Array:
     frac = scaled - floor
     floor_i = floor.astype(jnp.int32)
 
-    offs = jnp.arange(L, dtype=jnp.int32) * cfg.table_size  # (L,)
-
-    def corner(dx, dy, dz):
-        c = floor_i + jnp.array([dx, dy, dz], jnp.int32)
-        h = _spatial_hash(c, cfg.log2_hashmap_size)  # (..., L)
-        return table[h + offs]  # (..., L, F)
-
-    f000 = corner(0, 0, 0)
-    f001 = corner(0, 0, 1)
-    f010 = corner(0, 1, 0)
-    f011 = corner(0, 1, 1)
-    f100 = corner(1, 0, 0)
-    f101 = corner(1, 0, 1)
-    f110 = corner(1, 1, 0)
-    f111 = corner(1, 1, 1)
-
-    wx = frac[..., 0:1]
-    wy = frac[..., 1:2]
-    wz = frac[..., 2:3]
     if cfg.interpolation == "Smoothstep":
-        wx = wx * wx * (3 - 2 * wx)
-        wy = wy * wy * (3 - 2 * wy)
-        wz = wz * wz * (3 - 2 * wz)
+        frac = frac * frac * (3 - 2 * frac)
 
-    c00 = f000 * (1 - wx) + f100 * wx
-    c01 = f001 * (1 - wx) + f101 * wx
-    c10 = f010 * (1 - wx) + f110 * wx
-    c11 = f011 * (1 - wx) + f111 * wx
-    c0 = c00 * (1 - wy) + c10 * wy
-    c1 = c01 * (1 - wy) + c11 * wy
-    feats = c0 * (1 - wz) + c1 * wz  # (..., L, F)
-    return feats.reshape(*x01.shape[:-1], L * F)
+    offs = jnp.arange(L, dtype=jnp.int32) * cfg.table_size  # (L,)
+    batch_shape = x01.shape[:-1]
+
+    # Memory layout note: working in (..., L, F) keeps a 16×2 trailing tile
+    # that TPU pads 8×; instead every corner is flattened to (..., L·F) (4×
+    # less padding) and the trilerp is a *sequential* weighted accumulation
+    # over the 8 corners — product weights Πᵃ(wᵃ or 1−wᵃ) are exactly the
+    # trilinear weights, and only one corner tensor is live at a time.
+    feats = jnp.zeros((*batch_shape, L * F), table.dtype)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                c = floor_i + jnp.array([dx, dy, dz], jnp.int32)
+                h = _spatial_hash(c, cfg.log2_hashmap_size)  # (..., L)
+                f = table[h + offs].reshape(*batch_shape, L * F)
+                w = (
+                    (frac[..., 0] if dx else 1.0 - frac[..., 0])
+                    * (frac[..., 1] if dy else 1.0 - frac[..., 1])
+                    * (frac[..., 2] if dz else 1.0 - frac[..., 2])
+                )  # (..., L)
+                w = jnp.repeat(w, F, axis=-1)  # (..., L·F), matches reshape
+                feats = feats + f * w.astype(table.dtype)
+    return feats
+
+
+def hash_encode_jnp(table: Array, x01: Array, cfg: HashGridConfig) -> Array:
+    """jnp hash encoding, rematerialized: the 8-corner gather intermediates
+    have a 16-lane trailing dim that TPU tiling pads 8× — letting autodiff
+    save them as residuals (e.g. across MAML inner scans) wastes GBs, so the
+    backward recomputes from (table, x01) instead."""
+    return jax.checkpoint(_hash_encode_jnp_impl, static_argnums=(2,))(
+        table, x01, cfg
+    )
 
 
 def hash_encode(table: Array, x01: Array, cfg: HashGridConfig) -> Array:

@@ -59,6 +59,13 @@ class OccConfig:
         ext = np.asarray(aabb[1]) - np.asarray(aabb[0])
         return float(np.linalg.norm(ext) / 1000.0)
 
+    def step_size_for_traced(self, aabb):
+        """Traced-value variant (per-expert AABBs under vmap):
+        diag(roi)/1000 unless overridden (reference meta_ngp.py:104-109)."""
+        if self.render_step_size is not None:
+            return jnp.float32(self.render_step_size)
+        return jnp.linalg.norm(aabb[1] - aabb[0]) / 1000.0
+
 
 def level_aabbs(roi_aabb: Array, levels: int) -> Array:
     """(levels, 2, 3): level l = roi scaled by 2^l around its center."""

@@ -1,0 +1,427 @@
+"""One meta-training step, fully jitted: vmap over tasks × stacked experts.
+
+TPU-native counterpart of the reference's
+``pipelines/offline_stage/meta_train_step.py``. The reference iterates regions
+and tasks in Python (meta_train_step.py:60-123, one GPU, sequential); here the
+whole step — episodic inner loops, query losses, outer gradient, optimizer
+update — is a single XLA program:
+
+* tasks vmap along T;
+* experts are **stacked** along K and vmapped; under a device mesh the K axis
+  is sharded (``expert`` axis) so each device trains its own experts' tasks,
+  and the only cross-expert communication is the all-reduce of the shared
+  background-MLP gradient (inserted automatically by partitioning);
+* outer loss = Σ_regions mean_tasks(query loss): with fixed task shapes this
+  equals the reference's ray-weighted sum × num_regions fed-avg scaling
+  (meta_train_step.py:125-162).
+
+Note: the reference's Reptile branch silently updates nothing in the MoE path
+(its fast-weight keys are submodule-relative while ``snapshot_params`` uses
+container-qualified names — meta_core.py:144-178 matches zero keys). Here
+Reptile works per expert as intended.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from acn_tpu.models import container as cont
+from acn_tpu.models.container import ContainerConfig
+from acn_tpu.nerfs.losses import aligned_mse_loss, psnr_from_mse
+from acn_tpu.nerfs.render import bg_default_color, render_rays_stratified
+from acn_tpu.nerfs.render import composite, render_weights_from_density
+from acn_tpu.occupancy import grid as occ_grid
+from acn_tpu.occupancy.grid import OccConfig
+from acn_tpu.pipelines.offline_stage import meta_core
+
+Array = jnp.ndarray
+
+
+def make_bg_fn(cfg: ContainerConfig, P) -> Callable:
+    """(bg_params, dirs (N,3), key) → (N,3) background RGB."""
+    if cfg.use_bg_nerf:
+
+        def bg_fn(bg_params, dirs, key):
+            variables = {"params": {"bg_mlp": bg_params}}
+            return cont.background_color(variables, cfg, dirs)
+
+    else:
+        policy = P.bg_color_default
+
+        def bg_fn(bg_params, dirs, key):
+            if policy == "none":
+                return None
+            return bg_default_color(key, dirs.shape[0], policy)
+
+    return bg_fn
+
+
+def make_episode_loss(cfg: ContainerConfig, P, occ_cfg: Optional[OccConfig] = None):
+    """Episode loss builder.
+
+    Returns loss(expert_params, bg_params, aabb, occ_state_or_None, rays,
+    rgbs, key) → scalar: render the rays with the given single expert
+    (stratified while occupancy is not ready, occupancy-guided after) and
+    align+MSE against GT (reference losses.py:10-32, render dispatch
+    ray_rendering.py:564-574).
+
+    Memory: an episode is support_rays × ray_samples points — chip-saturating
+    at reference scale — so rays render in fixed chunks via ``lax.map`` with
+    per-chunk rematerialization (the TPU analogue of the reference's
+    ``chunk_points`` loop, ray_rendering.py:324-326): peak activation memory
+    is one chunk's, forward and backward.
+    """
+    bg_fn = make_bg_fn(cfg, P)
+    use_occ = occ_cfg is not None
+    step_size_cfg = occ_cfg
+    chunk = int(getattr(P, "train_chunk_rays", 1024))
+
+    def render_chunk(expert_params, aabb, occ_state, rays, bg, key):
+        """(chunk, 8) rays → (chunk, 3) rgb."""
+        if not use_occ:
+            model_fn = lambda xd: cfg.expert_forward(expert_params, cfg.expert, aabb, xd)
+            rgb_map, _, _, _ = render_rays_stratified(
+                model_fn, rays, int(P.ray_samples), key=key, randomized=True,
+                bg_rgb=bg,
+            )
+        else:
+            step_size = step_size_cfg.step_size_for_traced(aabb)
+            samples = occ_grid.march_rays(
+                occ_state, rays, step_size_cfg, step_size,
+                int(P.occ_s_max), int(P.occ_s_kept), key=key,
+            )
+            x = samples["positions"]
+            d = jnp.broadcast_to(rays[:, None, 3:6], x.shape)
+            xd = jnp.concatenate([x, d], axis=-1).reshape(-1, 6)
+            out = cfg.expert_forward(expert_params, cfg.expert, aabb, xd).reshape(
+                x.shape[0], x.shape[1], 4
+            )
+            weights, _ = render_weights_from_density(
+                samples["t_starts"], samples["t_ends"], out[..., 3],
+                sample_mask=samples["mask"],
+            )
+            t_mid = 0.5 * (samples["t_starts"] + samples["t_ends"])
+            rgb_map, _, _ = composite(weights, out[..., :3], t_mid, bg_rgb=bg)
+        return rgb_map
+
+    def loss_fn(expert_params, bg_params, aabb, occ_state, rays, rgbs, key):
+        n = rays.shape[0]
+        k_render, k_bg = jax.random.split(key)
+        bg = bg_fn(bg_params, rays[:, 3:6], k_bg)
+
+        if n <= chunk:
+            rgb_map = render_chunk(expert_params, aabb, occ_state, rays, bg, k_render)
+            return aligned_mse_loss(rgb_map, rgbs, P.color_space)
+
+        c = -(-n // chunk)  # ceil
+        pad = c * chunk - n
+        rays_p = jnp.concatenate(
+            [rays, jnp.zeros((pad, 8), rays.dtype).at[:, 7].set(-1.0)], axis=0
+        )
+        bg_p = (
+            jnp.concatenate([bg, jnp.zeros((pad, 3), bg.dtype)], axis=0)
+            if bg is not None
+            else None
+        )
+        keys = jax.random.split(k_render, c)
+
+        def one(args):
+            r, b, k = args
+            return render_chunk(expert_params, aabb, occ_state, r, b, k)
+
+        rgb_map = jax.lax.map(
+            jax.checkpoint(one),
+            (
+                rays_p.reshape(c, chunk, 8),
+                (bg_p.reshape(c, chunk, 3) if bg_p is not None else
+                 jnp.zeros((c, chunk, 3), rays.dtype)),
+                keys,
+            ),
+        ).reshape(c * chunk, 3)[:n]
+        return aligned_mse_loss(rgb_map, rgbs, P.color_space)
+
+    return loss_fn
+
+
+def _meta_grads_gradbased(
+    episode_loss, algo, params, bufs, occ_states, batch, key, inner_lr, inner_iter
+):
+    """MAML/FoMAML meta-gradients, scan-over-tasks with grad accumulation.
+
+    Memory design: one task's episode already saturates the chip
+    (support_rays × ray_samples points), so tasks run *sequentially* per
+    expert (lax.scan) and only their gradients accumulate — the reference
+    does the same sequentially in Python (meta_train_step.py:60-123). The
+    K experts stay vmapped (that axis shards across the mesh). Each task's
+    outer grad w.r.t. (expert params, shared bg) comes from one
+    value_and_grad; grad of the mean = mean of grads.
+
+    Returns (q_losses (K, T), inner_losses (K, T, I),
+             expert_grads stacked (K, ...), bg_grad summed over K or None).
+    """
+    experts = params["experts"]
+    bg = params.get("bg_mlp")
+    aabbs = bufs["expert_aabbs"]
+    outer_fn = meta_core.outer_loss_fn_for(algo)
+    has_bg = bg is not None
+
+    K, T = batch["support_rays"].shape[:2]
+    keys = jax.random.split(key, K * T).reshape(K, T, -1)
+
+    def task_grad(expert_p, aabb, occ_state, sr, sg, qr, qg, k):
+        def outer(ep, bp):
+            sup = lambda p, b, kk: episode_loss(p, bp, aabb, occ_state, b[0], b[1], kk)
+            return outer_fn(
+                sup, sup, ep, (sr, sg), (qr, qg), k, inner_lr, inner_iter
+            )
+
+        argnums = (0, 1) if has_bg else (0,)
+        (q_loss, inner_losses), grads = jax.value_and_grad(
+            outer, argnums=argnums, has_aux=True
+        )(expert_p, bg)
+        g_e = grads[0]
+        g_b = grads[1] if has_bg else None
+        return q_loss, inner_losses, g_e, g_b
+
+    def per_expert(expert_p, aabb, occ_state, sr, sg, qr, qg, ks):
+        g_e0 = jax.tree.map(jnp.zeros_like, expert_p)
+        g_b0 = jax.tree.map(jnp.zeros_like, bg) if has_bg else 0.0
+
+        def body(carry, xs):
+            g_e_acc, g_b_acc = carry
+            sr_t, sg_t, qr_t, qg_t, k_t = xs
+            q_loss, inner_losses, g_e, g_b = task_grad(
+                expert_p, aabb, occ_state, sr_t, sg_t, qr_t, qg_t, k_t
+            )
+            g_e_acc = jax.tree.map(jnp.add, g_e_acc, g_e)
+            if has_bg:
+                g_b_acc = jax.tree.map(jnp.add, g_b_acc, g_b)
+            return (g_e_acc, g_b_acc), (q_loss, inner_losses)
+
+        (g_e_sum, g_b_sum), (q_losses, inner_losses) = jax.lax.scan(
+            body, (g_e0, g_b0), (sr, sg, qr, qg, ks)
+        )
+        inv_t = 1.0 / T
+        g_e_mean = jax.tree.map(lambda g: g * inv_t, g_e_sum)
+        g_b_mean = jax.tree.map(lambda g: g * inv_t, g_b_sum) if has_bg else 0.0
+        return q_losses, inner_losses, g_e_mean, g_b_mean
+
+    q_losses, inner_losses, g_experts, g_bg_per_k = jax.vmap(per_expert)(
+        experts,
+        aabbs,
+        occ_states,
+        batch["support_rays"],
+        batch["support_rgbs"],
+        batch["query_rays"],
+        batch["query_rgbs"],
+        keys,
+    )
+    # shared bg: Σ_regions of per-region mean grads (matches the fed-avg
+    # scaled outer loss Σ_k mean_t); this sum is the one cross-expert
+    # collective under sharding
+    g_bg = (
+        jax.tree.map(lambda g: jnp.sum(g, axis=0), g_bg_per_k) if has_bg else None
+    )
+    return q_losses, inner_losses, g_experts, g_bg
+
+
+def make_meta_train_step(
+    cfg: ContainerConfig,
+    P,
+    optimizer: optax.GradientTransformation,
+    occ_cfg: Optional[OccConfig] = None,
+):
+    """Build the jitted meta-train step.
+
+    state = {"variables", "opt_state", "step"}; batch = stacked (K, T, ·, ·)
+    episode arrays; occ_states = stacked per-expert occupancy pytree or None.
+
+    Returns (state, metrics) with metrics {loss_out, loss_in, psnr_out,
+    psnr_in, grad_norm} — the reference's per-region scalars
+    (meta_train_step.py:193-253)."""
+    episode_loss = make_episode_loss(cfg, P, occ_cfg)
+    algo = P.algo.lower()
+    inner_lr = float(P.inner_lr)
+    inner_iter = int(P.inner_iter)
+
+    if algo in ("maml", "fomaml"):
+
+        def train_step(state, batch, occ_states, key):
+            variables = state["variables"]
+            bufs = variables["buffers"]
+
+            q_losses, inner_losses, g_experts, g_bg = _meta_grads_gradbased(
+                episode_loss, algo, variables["params"], bufs, occ_states,
+                batch, key, inner_lr, inner_iter,
+            )
+            # Σ_regions mean_tasks — the fed-avg ×K scaling (see module doc)
+            loss = jnp.sum(jnp.mean(q_losses, axis=1))
+            grads = {"experts": g_experts}
+            if g_bg is not None:
+                grads["bg_mlp"] = g_bg
+
+            updates, opt_state = optimizer.update(
+                grads, state["opt_state"], variables["params"]
+            )
+            new_params = optax.apply_updates(variables["params"], updates)
+
+            new_state = {
+                "variables": {"params": new_params, "buffers": bufs},
+                "opt_state": opt_state,
+                "step": state["step"] + 1,
+            }
+            loss_in_last = inner_losses[..., -1]  # (K, T)
+            metrics = {
+                "loss_out": jnp.mean(q_losses, axis=1),  # (K,)
+                "loss_in": jnp.mean(loss_in_last, axis=1),  # (K,)
+                "psnr_out": psnr_from_mse(jnp.mean(q_losses, axis=1)),
+                "psnr_in": psnr_from_mse(jnp.mean(loss_in_last, axis=1)),
+                "loss_total": loss,
+                "grad_norm": meta_core.global_grad_norm(grads),
+            }
+            return new_state, metrics
+
+    elif algo == "reptile":
+        outer_lr = float(P.lr)
+
+        def train_step(state, batch, occ_states, key):
+            variables = state["variables"]
+            bufs = variables["buffers"]
+            params = variables["params"]
+            experts = params["experts"]
+            bg = params.get("bg_mlp")
+            aabbs = bufs["expert_aabbs"]
+
+            K, T = batch["support_rays"].shape[:2]
+            keys = jax.random.split(key, K * T).reshape(K, T, -1)
+
+            def per_task(expert_p, aabb, occ_state, sr, sg, qr, qg, k):
+                sup_loss = lambda p, b, kk: episode_loss(
+                    p, bg, aabb, occ_state, b[0], b[1], kk
+                )
+                k_in, k_q = jax.random.split(k)
+                fast, inner_losses = meta_core.reptile_adapt(
+                    sup_loss, expert_p, (sr, sg), k_in, inner_lr, inner_iter
+                )
+                q_loss = sup_loss(fast, (qr, qg), k_q)
+                return fast, q_loss, inner_losses
+
+            def per_expert(expert_p, aabb, occ_state, sr, sg, qr, qg, ks):
+                # tasks sequential (one episode saturates the chip);
+                # accumulate Σ(fast − θ) instead of stacking fasts
+                d0 = jax.tree.map(jnp.zeros_like, expert_p)
+
+                def body(d_acc, xs):
+                    sr_t, sg_t, qr_t, qg_t, k_t = xs
+                    fast, q_loss, inner_losses = per_task(
+                        expert_p, aabb, occ_state, sr_t, sg_t, qr_t, qg_t, k_t
+                    )
+                    d_acc = jax.tree.map(
+                        lambda a, f, w: a + (f - w), d_acc, fast, expert_p
+                    )
+                    return d_acc, (q_loss, inner_losses)
+
+                d_sum, (q_losses, inner_losses) = jax.lax.scan(
+                    body, d0, (sr, sg, qr, qg, ks)
+                )
+                T = sr.shape[0]
+                delta = jax.tree.map(
+                    lambda d: jnp.where(jnp.isfinite(d), d, 0.0) / T, d_sum
+                )
+                new_p = jax.tree.map(lambda w, d: w + outer_lr * d, expert_p, delta)
+                return new_p, q_losses, inner_losses
+
+            new_experts, q_losses, inner_losses = jax.vmap(per_expert)(
+                experts,
+                aabbs,
+                occ_states,
+                batch["support_rays"],
+                batch["support_rgbs"],
+                batch["query_rays"],
+                batch["query_rgbs"],
+                keys,
+            )
+
+            new_params = dict(params)
+            new_params["experts"] = new_experts
+            new_state = {
+                "variables": {"params": new_params, "buffers": bufs},
+                "opt_state": state["opt_state"],
+                "step": state["step"] + 1,
+            }
+            loss_in_last = inner_losses[..., -1]
+            metrics = {
+                "loss_out": jnp.mean(q_losses, axis=1),
+                "loss_in": jnp.mean(loss_in_last, axis=1),
+                "psnr_out": psnr_from_mse(jnp.mean(q_losses, axis=1)),
+                "psnr_in": psnr_from_mse(jnp.mean(loss_in_last, axis=1)),
+                "loss_total": jnp.sum(jnp.mean(q_losses, axis=1)),
+                "grad_norm": jnp.zeros(()),
+            }
+            return new_state, metrics
+
+    else:
+        raise ValueError(f"Unsupported algo {algo!r}")
+
+    return train_step
+
+
+def make_eval_step(
+    cfg: ContainerConfig,
+    P,
+    occ_cfg: Optional[OccConfig] = None,
+    tto: Optional[int] = None,
+):
+    """Mid-training eval (reference meta_eval_step.py:16-148): adapt each test
+    task with ``tto`` inner steps, return post-adaptation query PSNR per
+    region. Batch layout identical to the train step."""
+    episode_loss = make_episode_loss(cfg, P, occ_cfg)
+    inner_lr = float(P.inner_lr)
+    iterations = int(P.inner_iter if tto is None else tto)
+
+    def eval_step(variables, batch, occ_states, key):
+        bufs = variables["buffers"]
+        params = variables["params"]
+        experts = params["experts"]
+        bg = params.get("bg_mlp")
+        aabbs = bufs["expert_aabbs"]
+
+        K, T = batch["support_rays"].shape[:2]
+        keys = jax.random.split(key, K * T).reshape(K, T, -1)
+
+        def per_task(expert_p, aabb, occ_state, sr, sg, qr, qg, k):
+            sup_loss = lambda p, b, kk: episode_loss(p, bg, aabb, occ_state, b[0], b[1], kk)
+            k_in, k_q = jax.random.split(k)
+            if iterations > 0:
+                fast, _ = meta_core.task_adapt(
+                    sup_loss, expert_p, (sr, sg), k_in, inner_lr, iterations,
+                    first_order=True,
+                )
+            else:
+                fast = expert_p
+            return sup_loss(fast, (qr, qg), k_q)
+
+        def per_expert(expert_p, aabb, occ_state, sr, sg, qr, qg, ks):
+            return jax.lax.map(
+                lambda xs: per_task(expert_p, aabb, occ_state, *xs),
+                (sr, sg, qr, qg, ks),
+            )
+
+        q_losses = jax.vmap(per_expert)(
+            experts, aabbs, occ_states,
+            batch["support_rays"], batch["support_rgbs"],
+            batch["query_rays"], batch["query_rgbs"], keys,
+        )  # (K, T)
+        psnr_region = psnr_from_mse(jnp.mean(q_losses, axis=1))
+        return {
+            "loss_out": jnp.mean(q_losses, axis=1),
+            "psnr_out": psnr_region,
+            "psnr": psnr_from_mse(jnp.mean(q_losses)),
+        }
+
+    return eval_step

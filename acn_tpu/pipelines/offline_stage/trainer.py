@@ -1,0 +1,202 @@
+"""Outer training driver: loop, eval, checkpointing, occupancy updates.
+
+Counterpart of the reference's ``pipelines/offline_stage/trainer.py``
+meta_trainer (trainer.py:9-103): loop over episodic batches up to
+``outer_steps``, periodic eval with best-checkpoint saving, step-tagged
+checkpoints, resume. Differences: no GradScaler (bf16/fp32 on TPU needs
+none), occupancy updates are jitted dense EMA passes, and the renderer
+switches stratified → occupancy once warmup concludes (one recompile,
+mirroring the reference's ``render_rays`` dispatch, ray_rendering.py:564-574).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from acn_tpu.models.container import ContainerConfig
+from acn_tpu.occupancy import grid as occ_grid
+from acn_tpu.occupancy.grid import OccConfig
+from acn_tpu.parallel.mesh import shard_by_expert_axis
+from acn_tpu.pipelines.offline_stage.train_step import (
+    make_eval_step,
+    make_meta_train_step,
+)
+from acn_tpu.utils.checkpoint import save_checkpoint
+from acn_tpu.utils.logging import Logger, MetricLogger, PhaseTimer
+
+
+def make_occ_update_fn(cfg: ContainerConfig, occ_cfg: OccConfig):
+    """Jitted all-expert occupancy EMA update
+    (reference meta_container.py:386-389 → meta_ngp.py:355-387)."""
+
+    def update_all(variables, occ_states, key):
+        experts = variables["params"]["experts"]
+        aabbs = variables["buffers"]["expert_aabbs"]
+        K = aabbs.shape[0]
+        keys = jax.random.split(key, K)
+
+        def upd(expert_p, aabb, occ_state, k):
+            density_fn = lambda x: cfg.expert_density(expert_p, cfg.expert, aabb, x)[
+                ..., 0
+            ]
+            step_size = occ_cfg.step_size_for_traced(aabb)
+            return occ_grid.update_occ_grid(occ_state, k, density_fn, occ_cfg, step_size)
+
+        return jax.vmap(upd)(experts, aabbs, occ_states, keys)
+
+    return jax.jit(update_all)
+
+
+def init_occ_states(expert_aabbs: np.ndarray, occ_cfg: OccConfig):
+    """Stacked (K, ...) occupancy states."""
+    return jax.vmap(lambda ab: occ_grid.init_occ_state(ab, occ_cfg))(
+        jnp.asarray(expert_aabbs)
+    )
+
+
+def dummy_occ_states(num_experts: int):
+    """Placeholder stacked leaf so vmapped steps have something to map over
+    when occupancy is disabled."""
+    return jnp.zeros((num_experts,), jnp.float32)
+
+
+def meta_trainer(
+    P,
+    cfg: ContainerConfig,
+    state: Dict[str, Any],
+    optimizer,
+    train_sampler,
+    test_sampler,
+    logger: Logger,
+    occ_cfg: Optional[OccConfig] = None,
+    occ_states=None,
+    mesh=None,
+    start_step: int = 0,
+    best: float = float("-inf"),
+) -> Dict[str, Any]:
+    """Run meta-training; returns the final state."""
+    K = cfg.num_submodules
+    use_occ = occ_cfg is not None
+    occ_ready = use_occ and start_step >= occ_cfg.warmup_steps
+
+    if occ_states is None:
+        occ_states = (
+            init_occ_states(np.asarray(state["variables"]["buffers"]["expert_aabbs"]), occ_cfg)
+            if use_occ
+            else dummy_occ_states(K)
+        )
+
+    def build_steps(with_occ_render: bool):
+        oc = occ_cfg if with_occ_render else None
+        tr = jax.jit(make_meta_train_step(cfg, P, optimizer, oc), donate_argnums=(0,))
+        ev = jax.jit(make_eval_step(cfg, P, oc))
+        return tr, ev
+
+    train_step, eval_step = build_steps(occ_ready)
+    occ_update = make_occ_update_fn(cfg, occ_cfg) if use_occ else None
+
+    if mesh is not None:
+        state = shard_by_expert_axis(state, mesh, K)
+        occ_states = shard_by_expert_axis(occ_states, mesh, K)
+
+    metric_log = MetricLogger()
+    timer = PhaseTimer()
+    key = jax.random.PRNGKey(P.seed)
+
+    step = start_step
+    t_loop = time.perf_counter()
+    while step < P.outer_steps:
+        timer.tic("data")
+        batch_np = train_sampler.sample_batch(P.batch_size)
+        batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+        if mesh is not None:
+            batch = shard_by_expert_axis(batch, mesh, K)
+        timer.toc("data")
+
+        key, k_step = jax.random.split(key)
+        timer.tic("step")
+        state, metrics = train_step(state, batch, occ_states, k_step)
+        metrics = jax.device_get(metrics)  # blocks: real step time
+        timer.toc("step")
+
+        step += 1
+
+        # occupancy maintenance (reference meta_train_step.py:176-177)
+        if use_occ:
+            if step % occ_cfg.update_interval == 0:
+                key, k_occ = jax.random.split(key)
+                occ_states = occ_update(state["variables"], occ_states, k_occ)
+            if not occ_ready and step >= occ_cfg.warmup_steps:
+                occ_ready = True
+                logger.log("[OCC] warmup concluded → occupancy renderer")
+                train_step, eval_step = build_steps(True)
+
+        metric_log.update(
+            loss=float(metrics["loss_total"]),
+            psnr_in=float(np.mean(metrics["psnr_in"])),
+            psnr_out=float(np.mean(metrics["psnr_out"])),
+        )
+
+        if step % P.print_step == 0 or step == 1:
+            phases = timer.reset()
+            dt = time.perf_counter() - t_loop
+            t_loop = time.perf_counter()
+            rays_per_task = batch_np["support_rays"].shape[2] * P.inner_iter + batch_np[
+                "query_rays"
+            ].shape[2]
+            rays_per_step = K * P.batch_size * rays_per_task
+            logger.log(
+                f"step {step}/{P.outer_steps} {metric_log} "
+                f"| {dt / max(P.print_step, 1):.3f}s/it "
+                f"({rays_per_step / max(dt / max(P.print_step, 1), 1e-9):,.0f} rays/s) "
+                f"| data {phases.get('data', 0):.2f}s step {phases.get('step', 0):.2f}s"
+            )
+            logger.scalar("train/loss", metrics["loss_total"], step)
+            for r in range(K):
+                logger.scalar(f"train/psnr_out/region_{r}", metrics["psnr_out"][r], step)
+                logger.scalar(f"train/loss_out/region_{r}", metrics["loss_out"][r], step)
+            logger.scalar("train/grad_norm", metrics["grad_norm"], step)
+
+        if test_sampler is not None and step % P.eval_step == 0:
+            key, k_eval = jax.random.split(key)
+            eval_metrics = []
+            for _ in range(int(P.max_test_tasks)):
+                tb = test_sampler.sample_batch(P.test_batch_size)
+                tb = {k: jnp.asarray(v) for k, v in tb.items()}
+                if mesh is not None:
+                    tb = shard_by_expert_axis(tb, mesh, K)
+                k_eval, k_one = jax.random.split(k_eval)
+                em = eval_step(state["variables"], tb, occ_states, k_one)
+                eval_metrics.append(jax.device_get(em))
+            psnr = float(np.mean([m["psnr"] for m in eval_metrics]))
+            logger.scalar("eval/psnr", psnr, step)
+            logger.log(f"[eval] step {step} query PSNR {psnr:.3f} (best {best:.3f})")
+            if psnr > best:
+                best = psnr
+                save_checkpoint(
+                    logger.logdir, "best", state["variables"],
+                    opt_state=state["opt_state"], occ_states=occ_states if use_occ else None,
+                    P=P, step=step, best=best, is_best=True,
+                )
+                logger.log(f"[ckpt] new best ({best:.3f}) saved")
+
+        if step % P.save_step == 0:
+            save_checkpoint(
+                logger.logdir, f"step{step}", state["variables"],
+                opt_state=state["opt_state"], occ_states=occ_states if use_occ else None,
+                P=P, step=step, best=best,
+            )
+
+    save_checkpoint(
+        logger.logdir, "last", state["variables"],
+        opt_state=state["opt_state"], occ_states=occ_states if use_occ else None,
+        P=P, step=step, best=best,
+    )
+    logger.log(f"training complete at step {step}; best eval PSNR {best:.3f}")
+    state["occ_states"] = occ_states
+    return state

@@ -1,0 +1,205 @@
+"""High-level rendering API: full-frame and ray-batch rendering of the
+routed container, stratified or occupancy-guided.
+
+Counterpart of the reference's ``render_rays`` dispatcher + ``render_image``
+(nerfs/ray_rendering.py:564-627). Chunking happens at the host level over a
+*fixed* chunk size (the last chunk is padded), so exactly one jitted program
+serves any image size — the reference re-chunks inside a Python loop per call
+(ray_rendering.py:324-326).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from acn_tpu.models import container as cont
+from acn_tpu.models.container import ContainerConfig
+from acn_tpu.nerfs import rays as raylib
+from acn_tpu.nerfs.render import bg_default_color, render_rays_stratified
+from acn_tpu.nerfs.render_occ import render_expert_occ, render_rays_occ
+from acn_tpu.occupancy.grid import OccConfig
+
+
+class Renderer:
+    """Stateless-per-call renderer over (variables, occ_states)."""
+
+    def __init__(
+        self,
+        cfg: ContainerConfig,
+        P,
+        occ_cfg: Optional[OccConfig] = None,
+        chunk_rays: Optional[int] = None,
+    ):
+        self.cfg = cfg
+        self.P = P
+        self.occ_cfg = occ_cfg
+        if chunk_rays is None:
+            # budget point-expert evals per chunk from P.chunk_points: the
+            # dense routed eval touches all K experts per sample, and the
+            # jnp hash gather builds 8-corner temporaries — stay well under
+            # the reference's per-chunk point count
+            k = max(cfg.num_submodules, 1)
+            s = max(int(P.ray_samples), 1)
+            chunk_rays = max(1024, int(P.chunk_points) // (8 * k * s))
+        self.chunk_rays = int(chunk_rays)
+        self._jitted = {}
+
+    # ---------------- jitted chunk kernels ----------------
+
+    def _chunk_fn(self, use_occ: bool, active_module: Optional[int], randomized: bool):
+        key_ = (use_occ, active_module, randomized)
+        if key_ in self._jitted:
+            return self._jitted[key_]
+
+        cfg, P, occ_cfg = self.cfg, self.P, self.occ_cfg
+
+        def render_chunk(variables, occ_states, rays, key):
+            n = rays.shape[0]
+            k_bg, k_render = jax.random.split(key)
+            dirs = rays[:, 3:6]
+            if cfg.use_bg_nerf:
+                bg = cont.background_color(variables, cfg, dirs)
+            elif P.bg_color_default == "none":
+                bg = None
+            else:
+                bg = bg_default_color(k_bg, n, P.bg_color_default)
+
+            if not use_occ:
+                if active_module is None:
+                    model_fn = lambda xd: cont.container_forward(variables, cfg, xd)
+                else:
+                    model_fn = lambda xd: cont.container_forward(
+                        variables, cfg, xd, active_module=active_module
+                    )
+                rgb, depth, weights, acc = render_rays_stratified(
+                    model_fn,
+                    rays,
+                    int(P.ray_samples),
+                    key=k_render if randomized else None,
+                    randomized=randomized,
+                    bg_rgb=bg,
+                )
+            else:
+                step_size = occ_cfg.step_size_for_traced(
+                    variables["buffers"]["global_aabb"]
+                )
+                common = dict(
+                    step_size=step_size,
+                    s_max=int(P.occ_s_max),
+                    s_kept=int(P.occ_s_kept),
+                    alpha_thre=occ_cfg.alpha_thre,
+                    key=k_render if randomized else None,
+                    bg_rgb=bg,
+                )
+                if active_module is None:
+                    rgb, depth, weights, acc = render_rays_occ(
+                        variables, occ_states, cfg, occ_cfg, rays, **common
+                    )
+                else:
+                    occ_k = jax.tree.map(lambda a: a[active_module], occ_states)
+                    rgb, depth, weights, acc = render_expert_occ(
+                        variables, occ_k, cfg, occ_cfg, rays,
+                        active_module=active_module, **common,
+                    )
+            # per-ray weight-shape stats used by fog suppression
+            # (reference video_gen.py:329-363): max weight and entropy of the
+            # normalized weight distribution along each ray
+            wsum = jnp.maximum(jnp.sum(weights, axis=1, keepdims=True), 1e-12)
+            p = weights / wsum
+            went = -jnp.sum(p * jnp.log(jnp.maximum(p, 1e-12)), axis=1)
+            wmax = jnp.max(weights, axis=1)
+            return rgb, depth, acc, wmax, went
+
+        fn = jax.jit(render_chunk)
+        self._jitted[key_] = fn
+        return fn
+
+    # ---------------- public API ----------------
+
+    def render_rays(
+        self,
+        variables,
+        occ_states,
+        rays: np.ndarray,  # (N, 8)
+        *,
+        key: Optional[jax.Array] = None,
+        use_occ: Optional[bool] = None,
+        active_module: Optional[int] = None,
+        randomized: bool = False,
+        with_stats: bool = False,
+    ):
+        """Chunked ray rendering → (rgb (N,3), depth (N,), acc (N,)) numpy,
+        plus (wmax (N,), w_entropy (N,)) when ``with_stats``."""
+        use_occ = (self.occ_cfg is not None) if use_occ is None else use_occ
+        fn = self._chunk_fn(use_occ, active_module, randomized)
+        key = key if key is not None else jax.random.PRNGKey(0)
+
+        N = rays.shape[0]
+        C = self.chunk_rays
+        rgb_out = np.zeros((N, 3), np.float32)
+        depth_out = np.zeros((N,), np.float32)
+        acc_out = np.zeros((N,), np.float32)
+        wmax_out = np.zeros((N,), np.float32)
+        went_out = np.zeros((N,), np.float32)
+        for s in range(0, N, C):
+            e = min(s + C, N)
+            chunk = rays[s:e]
+            if e - s < C:  # pad to the fixed chunk shape
+                pad = np.zeros((C - (e - s), 8), np.float32)
+                pad[:, 7] = -1.0  # far < near ⇒ inert rays
+                chunk = np.concatenate([np.asarray(chunk), pad])
+            key, k = jax.random.split(key)
+            rgb, depth, acc, wmax, went = fn(
+                variables, occ_states, jnp.asarray(chunk), k
+            )
+            rgb_out[s:e] = np.asarray(rgb)[: e - s]
+            depth_out[s:e] = np.asarray(depth)[: e - s]
+            acc_out[s:e] = np.asarray(acc)[: e - s]
+            wmax_out[s:e] = np.asarray(wmax)[: e - s]
+            went_out[s:e] = np.asarray(went)[: e - s]
+        if with_stats:
+            return rgb_out, depth_out, acc_out, wmax_out, went_out
+        return rgb_out, depth_out, acc_out
+
+    def render_image(
+        self,
+        variables,
+        occ_states,
+        *,
+        H: int,
+        W: int,
+        intrinsics,  # (4,) [fx, fy, cx, cy]
+        c2w,  # (3, 4)
+        aabb,  # (2, 3) scene box for per-ray near/far
+        key: Optional[jax.Array] = None,
+        active_module: Optional[int] = None,
+        use_occ: Optional[bool] = None,
+        near_far_override=None,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Full-frame render (reference render_image, ray_rendering.py:577-627).
+        Returns (rgb (H,W,3) linear [0,1], depth (H·W,), acc (H·W,))."""
+        from acn_tpu.data.ray_prep import (
+            clamp_rays_near_far_np,
+            get_ray_directions_np,
+            get_rays_np,
+        )
+
+        fx, fy, cx, cy = [float(v) for v in intrinsics[:4]]
+        dirs = get_ray_directions_np(H, W, fx, fy, cx, cy, center_pixels=True)
+        rays = get_rays_np(dirs, np.asarray(c2w, np.float32), aabb=np.asarray(aabb))
+        rays = rays.reshape(-1, 8)
+        rays, valid = clamp_rays_near_far_np(rays, near_far_override)
+        rays = np.where(np.isfinite(rays), rays, 0.0).astype(np.float32)
+        rays[~valid, 7] = -1.0  # inert
+
+        rgb, depth, acc = self.render_rays(
+            variables, occ_states, rays, key=key,
+            use_occ=use_occ, active_module=active_module,
+        )
+        rgb = np.clip(rgb, 0.0, 1.0).reshape(H, W, 3)
+        return rgb, depth, acc

@@ -1,0 +1,128 @@
+"""Checkpoint IO.
+
+Counterpart of the reference's checkpoint layer (utils.py:214-346, 712-754).
+Same flat-file run-dir layout and tags so workflows survive:
+
+    <run_dir>/{tag}.model    — msgpack of {"variables", "occ_states"}
+    <run_dir>/{tag}.optim    — msgpack of the optax state
+    <run_dir>/{tag}.P.json   — full config namespace (JSON, not pickle)
+    <run_dir>/{tag}.configs.json — {"step", "best", "is_best"}
+
+with tag ∈ {"best", "step{N}", "last"}. ``resolve_checkpoint_dir`` descends
+into the latest run dir containing ``*.model`` files exactly like the
+reference (utils.py:712-754). Unlike the reference — which computes an
+occ-stripped state dict but accidentally saves the full one
+(utils.py:283-289) — ``keep_occ_grids=False`` really does strip them.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def _to_numpy_tree(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(
+    run_dir,
+    tag: str,
+    variables: Dict[str, Any],
+    opt_state: Any = None,
+    occ_states: Any = None,
+    P=None,
+    step: int = 0,
+    best: float = float("-inf"),
+    is_best: bool = False,
+    keep_occ_grids: bool = True,
+) -> None:
+    run_dir = Path(run_dir)
+    run_dir.mkdir(parents=True, exist_ok=True)
+
+    payload = {"variables": _to_numpy_tree(variables)}
+    if occ_states is not None and keep_occ_grids:
+        payload["occ_states"] = _to_numpy_tree(occ_states)
+    # canonical state-dict form (lists → {"0": …}) so restore-with-template
+    # (from_state_dict) round-trips any pytree shape
+    with open(run_dir / f"{tag}.model", "wb") as f:
+        f.write(serialization.msgpack_serialize(serialization.to_state_dict(payload)))
+
+    if opt_state is not None:
+        with open(run_dir / f"{tag}.optim", "wb") as f:
+            f.write(serialization.to_bytes(opt_state))
+
+    if P is not None:
+        from acn_tpu.utils.config import namespace_to_jsonable
+
+        with open(run_dir / f"{tag}.P.json", "w") as f:
+            json.dump(namespace_to_jsonable(P), f, indent=2)
+
+    with open(run_dir / f"{tag}.configs.json", "w") as f:
+        json.dump({"step": int(step), "best": float(best), "is_best": bool(is_best)}, f)
+
+
+def load_checkpoint(run_dir, tag: str = "best") -> Dict[str, Any]:
+    """Load {variables, occ_states?, step, best} (reference utils.py:214-259)."""
+    run_dir = Path(run_dir)
+    with open(run_dir / f"{tag}.model", "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    out = {
+        "variables": payload["variables"],
+        "occ_states": payload.get("occ_states"),
+        "step": 0,
+        "best": float("-inf"),
+    }
+    cfg_path = run_dir / f"{tag}.configs.json"
+    if cfg_path.exists():
+        with open(cfg_path) as f:
+            c = json.load(f)
+        out["step"] = int(c.get("step", 0))
+        out["best"] = float(c.get("best", float("-inf")))
+    return out
+
+
+def load_opt_state(run_dir, tag: str, opt_state_template: Any) -> Any:
+    """Restore the optax state into a freshly-initialized template structure."""
+    p = Path(run_dir) / f"{tag}.optim"
+    if not p.exists():
+        return opt_state_template
+    with open(p, "rb") as f:
+        return serialization.from_bytes(opt_state_template, f.read())
+
+
+def restore_variables_like(template: Dict[str, Any], loaded: Dict[str, Any]):
+    """Shape a msgpack-restored (dict-of-dict numpy) tree onto the template's
+    pytree structure (handles list-vs-dict coercions)."""
+    return serialization.from_state_dict(template, loaded)
+
+
+def _contains_model_files(d: Path) -> bool:
+    return d.is_dir() and any(f.suffix == ".model" for f in d.iterdir() if f.is_file())
+
+
+def resolve_checkpoint_dir(value: str, logs_root: str = "logs") -> str:
+    """Descend into the latest run dir containing *.model
+    (reference utils.py:712-754)."""
+    p = Path(value)
+    if not p.exists():
+        p = Path(logs_root) / value
+    if not p.exists() or not p.is_dir():
+        raise FileNotFoundError(
+            f"Checkpoint path not found: '{value}' (or '{Path(logs_root) / value}')"
+        )
+    cur = p
+    for _ in range(8):
+        if _contains_model_files(cur):
+            return str(cur.resolve())
+        subdirs = sorted((d for d in cur.iterdir() if d.is_dir()), key=lambda x: x.name)
+        if not subdirs:
+            break
+        cur = subdirs[-1]
+    raise FileNotFoundError(f"No '*.model' checkpoints found under: {p}")
