@@ -138,7 +138,20 @@ HASH_PRIMES = (1, 2654435761, 805459861)
 @dataclass(frozen=True)
 class HashGridConfig:
     """Hyperparameters mirroring the reference HashGridEncoder
-    (encodings.py:180-215)."""
+    (encodings.py:180-215).
+
+    ``layout`` selects the table memory layout:
+
+    * ``corner`` — classic Instant-NGP: one (F,)-row per hashed corner,
+      8 gathers per (point, level). Bit-compatible with the reference torch
+      fallback; the correctness oracle.
+    * ``cell`` — TPU-native: one (8·F,)-row per hashed **cell** holding all
+      8 corner features. TPU gathers are row-count-bound (~220M rows/s
+      regardless of width), so this cuts gather AND scatter-grad rows 8×.
+      Corners are no longer shared between adjacent cells (the field may be
+      discontinuous at cell faces, like hash collisions already make it);
+      capacity per table entry is 8× higher at equal ``log2_hashmap_size``.
+    """
 
     levels: int = 16
     min_res: int = 16
@@ -148,6 +161,7 @@ class HashGridConfig:
     hash_init_scale: float = 1e-3
     interpolation: str = "Linear"  # "Linear" | "Nearest" | "Smoothstep"
     backend: str = "auto"  # "auto" | "jnp" | "pallas"
+    layout: str = "corner"  # "corner" | "cell"
 
     @property
     def table_size(self) -> int:
@@ -171,9 +185,25 @@ class HashGridConfig:
         return np.floor(self.min_res * (self.growth_factor**ls)).astype(np.int32)
 
 
-def init_hash_table(key: jax.Array, cfg: HashGridConfig) -> Array:
-    """Uniform(-s, s) table of shape (levels · table_size, F), fp32
-    (reference encodings.py:264-268)."""
+def init_hash_table(key: jax.Array, cfg: HashGridConfig):
+    """Uniform(-s, s) tables, fp32 (reference encodings.py:264-268).
+
+    * corner layout: one array (levels · table_size, F) — matches the
+      reference's single ``nn.Parameter``.
+    * cell layout: a **list of per-level arrays** (table_size, 8 · F). The
+      split matters for performance, not just organization: XLA keeps a
+      scatter accumulator in VMEM only when the target fits (~≤8 MB), and
+      the hash-grad scatter runs 6–12× faster against small per-level
+      tables than against one concatenated table.
+    """
+    if cfg.layout == "cell":
+        keys = jax.random.split(key, cfg.levels)
+        w = 8 * cfg.features_per_level
+        return [
+            jax.random.uniform(k, (cfg.table_size, w), jnp.float32, -1.0, 1.0)
+            * cfg.hash_init_scale
+            for k in keys
+        ]
     T = cfg.table_size * cfg.levels
     return (
         jax.random.uniform(key, (T, cfg.features_per_level), jnp.float32, -1.0, 1.0)
@@ -259,15 +289,70 @@ def hash_encode_jnp(table: Array, x01: Array, cfg: HashGridConfig) -> Array:
     )
 
 
-def hash_encode(table: Array, x01: Array, cfg: HashGridConfig) -> Array:
-    """Dispatch between the jnp oracle and the Pallas TPU kernel."""
-    backend = cfg.backend
-    if backend == "auto":
-        backend = "jnp"  # Pallas kernel opts in explicitly until proven faster
-    if backend == "jnp":
-        return hash_encode_jnp(table, x01, cfg)
-    if backend == "pallas":
-        from acn_tpu.ops.hashgrid import hash_encode_pallas
+def _hash_encode_cell_impl(tables, x01: Array, cfg: HashGridConfig) -> Array:
+    """Cell-packed hash encoding: ONE gathered row per (point, level).
 
-        return hash_encode_pallas(table, x01, cfg)
+    Row r = hash(cell) holds the cell's 8 corner features [c000…c111]
+    (corner index c = 4·dx + 2·dy + dz), trilinearly blended with the
+    intra-cell fraction. 8× fewer gather/scatter rows than the corner layout
+    — the difference between the reference's CUDA hash kernels (shared-mem
+    random access is free on GPUs) and the TPU memory system (row-count-bound
+    gathers) demands the layout change, not a literal port.
+
+    ``tables`` is the per-level list from ``init_hash_table`` (small scatter
+    targets ⇒ VMEM-resident grad accumulation, see there).
+    """
+    L, F = cfg.levels, cfg.features_per_level
+    resolutions = cfg.level_resolutions()
+
+    feats = []
+    for l in range(L):  # static unroll; one gather + blend per level
+        scaled = x01 * jnp.asarray(resolutions[l], x01.dtype)  # (..., 3)
+        cell = jnp.floor(scaled)
+        frac = scaled - cell
+        if cfg.interpolation == "Smoothstep":
+            frac = frac * frac * (3 - 2 * frac)
+        elif cfg.interpolation == "Nearest":
+            frac = jnp.round(frac)
+
+        h = _spatial_hash(cell.astype(jnp.int32), cfg.log2_hashmap_size)
+        rows = tables[l][h]  # (..., 8·F)
+
+        wx = frac[..., 0:1]
+        wy = frac[..., 1:2]
+        wz = frac[..., 2:3]
+        one = jnp.ones_like(wx)
+        # corner weights in packing order (dz fastest): Π (w or 1−w)
+        w = jnp.concatenate(
+            [
+                (wx if dx else one - wx) * (wy if dy else one - wy)
+                * (wz if dz else one - wz)
+                for dx in (0, 1)
+                for dy in (0, 1)
+                for dz in (0, 1)
+            ],
+            axis=-1,
+        )  # (..., 8)
+        w_rep = jnp.repeat(w, F, axis=-1).astype(rows.dtype)  # (..., 8F)
+        weighted = rows * w_rep
+        feats.append(
+            weighted.reshape(*weighted.shape[:-1], 8, F).sum(axis=-2)
+        )  # (..., F)
+    return jnp.concatenate(feats, axis=-1)  # (..., L·F)
+
+
+def hash_encode_cell(table: Array, x01: Array, cfg: HashGridConfig) -> Array:
+    """Cell-packed encoding with rematerialized backward (see hash_encode_jnp)."""
+    return jax.checkpoint(_hash_encode_cell_impl, static_argnums=(2,))(
+        table, x01, cfg
+    )
+
+
+def hash_encode(table: Array, x01: Array, cfg: HashGridConfig) -> Array:
+    """Dispatch on layout/backend."""
+    if cfg.layout == "cell":
+        return hash_encode_cell(table, x01, cfg)
+    backend = cfg.backend
+    if backend in ("auto", "jnp"):
+        return hash_encode_jnp(table, x01, cfg)
     raise ValueError(f"Unknown hash backend {backend!r}")

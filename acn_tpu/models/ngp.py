@@ -95,7 +95,8 @@ def init_ngp(key: jax.Array, cfg: NGPConfig, dtype=jnp.float32) -> Params:
 
 def world_to_unit(x: Array, aabb: Array) -> Array:
     """World → clamped [0,1]^3 inside the expert AABB
-    (reference meta_ngp.py:155-158)."""
+    (reference meta_ngp.py:155-158). Follows x's dtype (bf16 under AMP)."""
+    aabb = aabb.astype(x.dtype)
     x01 = (x - aabb[0]) / (aabb[1] - aabb[0])
     return jnp.clip(x01, ENC_EPS, 1.0 - ENC_EPS)
 
@@ -160,7 +161,7 @@ def param_group_labels(params: Params) -> Params:
     mirroring MetaNGP.get_param_groups (reference meta_ngp.py:446-469).
     Used by optax.multi_transform for per-group learning rates."""
     return {
-        "hash_table": "encoding",
+        "hash_table": jax.tree.map(lambda _: "encoding", params["hash_table"]),
         "sigma_trunk": jax.tree.map(lambda _: "sigma", params["sigma_trunk"]),
         "sigma_head": jax.tree.map(lambda _: "sigma", params["sigma_head"]),
         "geo_head": jax.tree.map(lambda _: "sigma", params["geo_head"]),

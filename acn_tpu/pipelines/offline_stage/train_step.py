@@ -79,14 +79,35 @@ def make_episode_loss(cfg: ContainerConfig, P, occ_cfg: Optional[OccConfig] = No
     bg_fn = make_bg_fn(cfg, P)
     use_occ = occ_cfg is not None
     step_size_cfg = occ_cfg
-    chunk = int(getattr(P, "train_chunk_rays", 1024))
+    # 0 disables ray chunking (one fused render per episode). Enable for
+    # memory-constrained configs; note deeply nested scan/map programs
+    # compile slowly on TPU.
+    chunk = int(getattr(P, "train_chunk_rays", 0) or 0)
+    use_amp = bool(getattr(P, "use_amp", False))
 
     def render_chunk(expert_params, aabb, occ_state, rays, bg, key):
         """(chunk, 8) rays → (chunk, 3) rgb."""
+        if use_amp:
+            # bf16 compute (the TPU analogue of the reference's fp16
+            # autocast inner loops, meta_core.py:31-47): params and network
+            # inputs cast to bf16 — gathers and MXU matmuls run at half the
+            # bandwidth — while t-sampling, compositing and the loss stay
+            # fp32. Grads upcast through the casts onto fp32 masters.
+            expert_params = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if jnp.issubdtype(x.dtype, jnp.floating)
+                else x,
+                expert_params,
+            )
+            fwd = lambda xd: cfg.expert_forward(
+                expert_params, cfg.expert, aabb, xd.astype(jnp.bfloat16)
+            ).astype(jnp.float32)
+        else:
+            fwd = lambda xd: cfg.expert_forward(expert_params, cfg.expert, aabb, xd)
+
         if not use_occ:
-            model_fn = lambda xd: cfg.expert_forward(expert_params, cfg.expert, aabb, xd)
             rgb_map, _, _, _ = render_rays_stratified(
-                model_fn, rays, int(P.ray_samples), key=key, randomized=True,
+                fwd, rays, int(P.ray_samples), key=key, randomized=True,
                 bg_rgb=bg,
             )
         else:
@@ -98,9 +119,7 @@ def make_episode_loss(cfg: ContainerConfig, P, occ_cfg: Optional[OccConfig] = No
             x = samples["positions"]
             d = jnp.broadcast_to(rays[:, None, 3:6], x.shape)
             xd = jnp.concatenate([x, d], axis=-1).reshape(-1, 6)
-            out = cfg.expert_forward(expert_params, cfg.expert, aabb, xd).reshape(
-                x.shape[0], x.shape[1], 4
-            )
+            out = fwd(xd).reshape(x.shape[0], x.shape[1], 4)
             weights, _ = render_weights_from_density(
                 samples["t_starts"], samples["t_ends"], out[..., 3],
                 sample_mask=samples["mask"],
@@ -114,7 +133,7 @@ def make_episode_loss(cfg: ContainerConfig, P, occ_cfg: Optional[OccConfig] = No
         k_render, k_bg = jax.random.split(key)
         bg = bg_fn(bg_params, rays[:, 3:6], k_bg)
 
-        if n <= chunk:
+        if chunk <= 0 or n <= chunk:
             rgb_map = render_chunk(expert_params, aabb, occ_state, rays, bg, k_render)
             return aligned_mse_loss(rgb_map, rgbs, P.color_space)
 
@@ -174,6 +193,30 @@ def _meta_grads_gradbased(
     keys = jax.random.split(key, K * T).reshape(K, T, -1)
 
     def task_grad(expert_p, aabb, occ_state, sr, sg, qr, qg, k):
+        if algo == "fomaml":
+            # Explicit first-order meta-gradient: adapt WITHOUT building any
+            # outer differentiation through the inner scan (d fast/dθ = I),
+            # then one fwd+bwd on the query at the adapted weights. This is
+            # exactly the reference's create_graph=False semantics
+            # (meta_core.py:52-64) and costs 8×(support fwd+bwd) + 1×(query
+            # fwd+bwd) — nothing more.
+            sup = lambda p, b, kk: episode_loss(p, bg, aabb, occ_state, b[0], b[1], kk)
+            k_in, k_q = jax.random.split(k)
+            fast, inner_losses = meta_core.task_adapt(
+                sup, jax.lax.stop_gradient(expert_p), (sr, sg), k_in,
+                inner_lr, inner_iter, first_order=True,
+            )
+
+            def q_loss_fn(ep, bp):
+                q = lambda p, b, kk: episode_loss(p, bp, aabb, occ_state, b[0], b[1], kk)
+                return q(ep, (qr, qg), k_q)
+
+            argnums = (0, 1) if has_bg else (0,)
+            q_loss, grads = jax.value_and_grad(q_loss_fn, argnums=argnums)(fast, bg)
+            g_e = grads[0]
+            g_b = grads[1] if has_bg else None
+            return q_loss, inner_losses, g_e, g_b
+
         def outer(ep, bp):
             sup = lambda p, b, kk: episode_loss(p, bp, aabb, occ_state, b[0], b[1], kk)
             return outer_fn(

@@ -61,15 +61,23 @@ from acn_tpu.utils.optim import build_optimizer
 
 
 def build_model_configs(P, clustering_params) -> ContainerConfig:
-    """args → model configuration (reference nerf_runner.py:102-169)."""
+    """args → model configuration (reference nerf_runner.py:102-169).
+
+    ``--log2_hashmap_size`` keeps its reference meaning (log2 of per-level
+    parameter slots); the TPU-native cell layout packs 8 corner features per
+    row, so its row count is 2^(log2−3) for equal capacity.
+    """
+    layout = getattr(P, "hash_layout", "cell")
+    log2 = int(P.log2_hashmap_size) - (3 if layout == "cell" else 0)
     hash_cfg = HashGridConfig(
         levels=16,
         min_res=16,
         max_res=int(P.max_res),
-        log2_hashmap_size=int(P.log2_hashmap_size),
+        log2_hashmap_size=max(log2, 4),
         features_per_level=2,
         interpolation="Linear",
         backend=getattr(P, "hash_backend", "auto"),
+        layout=layout,
     )
     if P.nerf_variant == "instant":
         expert_cfg = NGPConfig(

@@ -96,6 +96,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument(
         "--hash_backend", type=str, default="auto", choices=["auto", "jnp", "pallas"]
     )
+    parser.add_argument(
+        "--hash_layout", type=str, default="cell", choices=["cell", "corner"],
+        help="hash-grid memory layout: 'cell' (TPU-native, 8 corner features "
+        "packed per gathered row — ~8x fewer gather/scatter rows) or 'corner' "
+        "(classic Instant-NGP, bit-compatible with the reference)",
+    )
 
     # --- background model
     parser.add_argument("--no_bg_nerf", action="store_true")
@@ -203,6 +209,7 @@ ARCH_KEYS = {
     "color_hidden",
     "max_res",
     "log2_hashmap_size",
+    "hash_layout",
     "xyz_encoding",
     "dir_encoding",
     "no_bg_nerf",

@@ -41,14 +41,16 @@ def main():
     INNER = 8
     RAY_SAMPLES = 96
 
-    cfg, variables = _toy_problem(K=K, hash_log2=19, hash_levels=16)
+    # cell-layout tables: 2^16 rows × 16 floats/level ≈ the reference's
+    # 2^19-entry × 2-float corner tables in parameter capacity
+    cfg, variables = _toy_problem(K=K, hash_log2=16, hash_levels=16)
 
     P = types.SimpleNamespace(
         algo="fomaml", inner_iter=INNER, inner_lr=0.015, ray_samples=RAY_SAMPLES,
         color_space="linear", bg_color_default="white", optimizer="adam",
         encoding_lr=1e-2, sigma_lr=2e-3, color_lr=2e-3, bg_lr=1e-3, lr=1e-4,
         outer_steps=10_000, decay_factor=10.0, no_scheduler=False, grad_clip=1.0,
-        occ_s_max=512, occ_s_kept=128,
+        occ_s_max=512, occ_s_kept=128, use_amp=True, train_chunk_rays=0,
     )
     labels = cont.param_group_labels(variables, cfg)
     opt = build_optimizer(P, labels, grad_clip=P.grad_clip)

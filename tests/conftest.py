@@ -16,3 +16,6 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_compilation_cache", True)
+# this image's oneDNN CPU backend may run f32 matmuls through bf16 (AMX);
+# force full precision so numeric oracles are deterministic
+jax.config.update("jax_default_matmul_precision", "highest")
