@@ -178,22 +178,31 @@ def mark_invisible_cells(
     centers = cell_centers(state, cfg)  # (L, R³, 3)
     L = centers.shape[0]
     x = centers.reshape(-1, 3)  # (M, 3)
+    M = x.shape[0]
 
     R_wc = c2w_rdf[:, :3, :3]  # (C, 3, 3) cam→world
     t_wc = c2w_rdf[:, :3, 3]  # (C, 3)
-    # world→cam: x_c = Rᵀ (x − t)
-    rel = x[None, :, :] - t_wc[:, None, :]  # (C, M, 3)
-    x_cam = jnp.einsum("cij,cmi->cmj", R_wc, rel)  # (C, M, 3) (Rᵀ x = x·R)
 
-    z = x_cam[..., 2]  # RDF: +z is forward
-    uvw = jnp.einsum("cij,cmj->cmi", K_mats, x_cam)
-    u = uvw[..., 0] / jnp.where(jnp.abs(z) > 1e-9, z, 1e-9)
-    v = uvw[..., 1] / jnp.where(jnp.abs(z) > 1e-9, z, 1e-9)
+    # chunk over cells: the dense (C, M, 3) camera-space tensor for a 128³×L
+    # grid and hundreds of cameras would be tens of GB
+    block = 65536
+    pad = (-M) % block
+    x_pad = jnp.concatenate([x, jnp.zeros((pad, 3), x.dtype)], axis=0)
 
-    seen = (
-        (z > near_plane) & (u >= 0) & (u < width) & (v >= 0) & (v < height)
-    )  # (C, M)
-    visible = jnp.any(seen, axis=0)  # (M,)
+    def visible_block(xb):  # (B, 3) → (B,) bool
+        rel = xb[None, :, :] - t_wc[:, None, :]  # (C, B, 3)
+        x_cam = jnp.einsum("cij,cbi->cbj", R_wc, rel)  # world→cam: Rᵀ(x−t)
+        z = x_cam[..., 2]  # RDF: +z forward
+        uvw = jnp.einsum("cij,cbj->cbi", K_mats, x_cam)
+        zs = jnp.where(jnp.abs(z) > 1e-9, z, 1e-9)
+        u = uvw[..., 0] / zs
+        v = uvw[..., 1] / zs
+        seen = (z > near_plane) & (u >= 0) & (u < width) & (v >= 0) & (v < height)
+        return jnp.any(seen, axis=0)
+
+    visible = jax.lax.map(
+        visible_block, x_pad.reshape(-1, block, 3)
+    ).reshape(-1)[:M]
 
     occs = state["occs"].reshape(-1)
     occs = jnp.where(visible, occs, -1.0)
@@ -278,11 +287,24 @@ def march_t_schedule(
 
 def compact_samples(valid: Array, s_kept: int) -> Tuple[Array, Array]:
     """Per-ray stable compaction: indices of the first ``s_kept`` valid
-    samples (N, s_kept) and their validity mask. Pure argsort — static shape."""
-    # stable sort keys: invalid→1 sorts after valid→0, ties keep t-order
-    order = jnp.argsort(jnp.logical_not(valid), axis=1, stable=True)
-    idx = order[:, :s_kept]
-    kept_valid = jnp.take_along_axis(valid, idx, axis=1)
+    samples (N, s_kept) and their validity mask — static shapes.
+
+    Sort-free: the k-th valid sample's output slot is its exclusive prefix
+    count, written with a dropping scatter. (A per-ray argsort compiles into
+    an enormous sorting network on TPU — 100s of seconds of XLA time — while
+    cumsum+scatter compiles instantly and runs faster.)"""
+    n, s_max = valid.shape
+    counts = jnp.cumsum(valid, axis=1)  # inclusive prefix counts
+    pos = jnp.where(valid, counts - 1, s_kept)  # target slot; invalid → dropped
+    src = jnp.broadcast_to(jnp.arange(s_max, dtype=jnp.int32), (n, s_max))
+
+    idx = jax.vmap(
+        lambda p, s: jnp.zeros(s_kept, jnp.int32).at[p].set(s, mode="drop")
+    )(pos, src)
+    num_valid = counts[:, -1]
+    kept_valid = (
+        jnp.arange(s_kept, dtype=counts.dtype)[None, :] < num_valid[:, None]
+    )
     return idx, kept_valid
 
 

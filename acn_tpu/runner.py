@@ -283,13 +283,17 @@ def premark_occ_states(cfg, occ_cfg, expert_aabbs, metadata_items, near_plane):
     c2w_rdf = jnp.asarray(c2w_rdf)
     W, H = int(mds[0].W), int(mds[0].H)
 
+    @jax.jit
     def premark_one(ab):
         state = occ_grid.init_occ_state(ab, occ_cfg)
         return occ_grid.mark_invisible_cells(
             state, K_mats, c2w_rdf, W, H, float(near_plane), occ_cfg
         )
 
-    return jax.vmap(premark_one)(jnp.asarray(expert_aabbs))
+    # sequential per expert: the frustum sweep over all grid cells is memory-
+    # heavy; vmapping K experts multiplies the working set
+    states = [premark_one(jnp.asarray(ab)) for ab in np.asarray(expert_aabbs)]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
 
 
 # -----------------------------

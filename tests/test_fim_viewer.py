@@ -1,0 +1,117 @@
+"""FIM module + headless viewer engine tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from acn_tpu.models import fim
+
+
+def test_fisher_update_ema():
+    f0 = {"w": jnp.zeros(3)}
+    g = {"w": jnp.array([1.0, 2.0, 3.0])}
+    f1 = fim.fisher_update(f0, g, beta=0.9)
+    np.testing.assert_allclose(f1["w"], 0.1 * np.array([1, 4, 9]), rtol=1e-6)
+
+
+def test_fisher_scaled_grads_preconditions():
+    f = {"w": jnp.array([1e-6, 1.0])}
+    g = {"w": jnp.array([1.0, 1.0])}
+    out = fim.fisher_scaled_grads(f, g, lam=1.0, epsilon=1e-6)
+    # tiny fisher ⇒ large preconditioned grad; big fisher ⇒ ≈ g/F
+    assert float(out["w"][0]) > 1e4
+    np.testing.assert_allclose(float(out["w"][1]), 1.0, rtol=1e-4)
+
+
+def test_fim_task_adapt_converges():
+    target = jnp.array([2.0, -1.0])
+    loss_fn = lambda p, b, k: jnp.sum((p - target) ** 2)
+    p0 = jnp.zeros(2)
+    f0 = fim.fisher_init(p0)
+    fast, fisher, losses = fim.fim_task_adapt(
+        loss_fn, p0, f0, None, jax.random.PRNGKey(0), 0.05, 30
+    )
+    assert float(losses[-1]) < float(losses[0])
+    assert np.all(np.asarray(fisher) > 0)
+
+
+# ------------------------- viewer engine (headless) -------------------------
+
+
+def test_controller_with_view_runner():
+    import time
+
+    from acn_tpu.viewer.engine.controller import Controller
+
+    # minimal ctx: ViewRunner touches variables/occ only through snapshots
+    ctx = {
+        "P": _mini_P(),
+        "cfg": None,
+        "variables": {"params": {}, "buffers": {}},
+        "occ_states": None,
+    }
+    c = Controller(ctx)
+    assert not c.is_running
+    c.start(target_steps=3)
+    for _ in range(50):
+        if not c.is_running:
+            break
+        time.sleep(0.05)
+    assert not c.is_running
+    assert c.runner.steps == 3
+    v, occ = c.get_render_params()
+    assert v == {"params": {}, "buffers": {}}
+    c.stop()
+
+
+def _mini_P():
+    import types
+
+    return types.SimpleNamespace(
+        support_rays=64, ray_samples=8, downscale=1.0, encoding_lr=1e-2,
+        sigma_lr=1e-3, color_lr=1e-3, bg_lr=1e-3, seed=0,
+    )
+
+
+def test_colormaps():
+    from acn_tpu.viewer.colormap import (
+        ColormapOptions,
+        apply_colormap,
+        apply_depth_colormap,
+        apply_pca_colormap,
+    )
+
+    x = np.linspace(0, 1, 64).reshape(8, 8, 1)
+    g = apply_colormap(x)
+    assert g.shape == (8, 8, 3)
+    t = apply_colormap(x, ColormapOptions(colormap="turbo"))
+    assert t.shape == (8, 8, 3) and t.min() >= 0 and t.max() <= 1
+    d = apply_depth_colormap(x, accumulation=np.ones_like(x))
+    assert d.shape == (8, 8, 3)
+    feats = np.random.RandomState(0).randn(8, 8, 16)
+    p = apply_pca_colormap(feats)
+    assert p.shape == (8, 8, 3) and p.min() >= 0 and p.max() <= 1
+
+
+def test_verify_continual_batch_dir_on_example():
+    from pathlib import Path
+
+    from acn_tpu.viewer.utils import verify_continual_batch_dir
+
+    batch = Path("data/drz/out/example/continual/batch_0001")
+    if not batch.exists():
+        import pytest
+
+        pytest.skip("example dataset not present")
+    ok, msgs = verify_continual_batch_dir(batch)
+    assert ok, msgs
+
+
+def test_sanitizers():
+    from acn_tpu.viewer.utils import sanitize_bg_policy, sanitize_module_selection
+
+    assert sanitize_bg_policy("WHITE") == "white"
+    assert sanitize_bg_policy("bogus") == "white"
+    assert sanitize_module_selection("all", 4) is None
+    assert sanitize_module_selection("2", 4) == 2
+    assert sanitize_module_selection("7", 4) is None
