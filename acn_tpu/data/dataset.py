@@ -144,6 +144,48 @@ def load_scene_boxes(mask_dir) -> Tuple[np.ndarray, np.ndarray]:
     return aabb_global, expert_aabbs
 
 
+# ---------------------- ray-store disk cache ----------------------
+
+
+def _ray_cache_dir() -> Path:
+    import os
+
+    d = Path(os.environ.get("ACN_TPU_RAY_CACHE",
+                            Path.home() / ".cache" / "acn_tpu" / "rays"))
+    d.mkdir(parents=True, exist_ok=True)
+    return d
+
+
+def _cached_ram_rays(cache_key: str, build_fn) -> RamRaysDataset:
+    """Build-or-load a RamRaysDataset. Ray building decodes and resizes every
+    image — minutes of serial CPU on small hosts — while the result is a
+    deterministic function of (metadata, mask set, downscale, box, near/far),
+    so it caches perfectly. The reference rebuilds each run (it assumes many
+    cores, ram_rays_dataset.py:170-191)."""
+    import hashlib
+
+    h = hashlib.sha1(cache_key.encode()).hexdigest()[:16]
+    path = _ray_cache_dir() / f"{h}.npz"
+    if path.exists():
+        try:
+            z = np.load(path)
+            ds = RamRaysDataset.__new__(RamRaysDataset)
+            ds.rays = z["rays"]
+            ds.rgbs = z["rgbs"]
+            ds.img_indices = z["img_indices"]
+            ds.num_images = int(z["num_images"])
+            return ds
+        except Exception:
+            path.unlink(missing_ok=True)
+    ds = build_fn()
+    try:
+        np.savez(path, rays=ds.rays, rgbs=ds.rgbs,
+                 img_indices=ds.img_indices, num_images=ds.num_images)
+    except Exception:
+        pass
+    return ds
+
+
 # ---------------------- dataset factory ----------------------
 
 
@@ -173,10 +215,18 @@ def get_dataset(
             near_far_override=near_far_override,
             num_workers=P.num_workers,
         )
-        test_set = RamRaysDataset(val_md, val_balancing=True, **kwargs)
+        key_base = (
+            f"{data_path.resolve()}|flat|ds{P.downscale}|nf{near_far_override}"
+        )
+        test_set = _cached_ram_rays(
+            key_base + "|val",
+            lambda: RamRaysDataset(val_md, val_balancing=True, **kwargs),
+        )
         if only_test:
             return None, [test_set]
-        train_set = RamRaysDataset(train_md, **kwargs)
+        train_set = _cached_ram_rays(
+            key_base + "|train", lambda: RamRaysDataset(train_md, **kwargs)
+        )
         return [train_set], [test_set]
 
     mask_root = data_path / "masks" / P.mask_dirname
@@ -206,12 +256,23 @@ def get_dataset(
             near_far_override=near_far_override,
             num_workers=P.num_workers,
         )
+        key_base = (
+            f"{data_path.resolve()}|{P.mask_dirname}|cell{cell_id}|"
+            f"ds{P.downscale}|nf{near_far_override}|cap{P.cap_images}|"
+            f"aabb{np.asarray(aabb).tobytes().hex() if aabb is not None else None}"
+        )
         if not only_test:
-            train_ds = RamRaysDataset(train_md, **kwargs)
+            train_ds = _cached_ram_rays(
+                key_base + "|train",
+                lambda: RamRaysDataset(train_md, **kwargs),
+            )
             if len(train_ds) > 0:
                 train_sets.append(train_ds)
         if val_md:
-            val_ds = RamRaysDataset(val_md, val_balancing=True, **kwargs)
+            val_ds = _cached_ram_rays(
+                key_base + "|val",
+                lambda: RamRaysDataset(val_md, val_balancing=True, **kwargs),
+            )
             if len(val_ds) > 0:
                 val_sets.append(val_ds)
 

@@ -1,0 +1,55 @@
+"""Hash-grid kernel engineering notes and dispatch hooks.
+
+The reference's performance core is tiny-cuda-nn's fused CUDA hash-grid
+kernel (reference models/encodings.py:229-256). On GPUs, per-thread random
+shared/L2 memory access is nearly free, so 8 corner lookups per (point,
+level) are fine. The TPU memory system is different, and we measured it
+(v5e, one chip, XLA 0.9 via remote tunnel):
+
+============================  measured characteristics  =====================
+matmul 8k³ bf16                      123 TFLOPS (62% of peak)
+elementwise r+w                      ~250 GB/s
+gather (T, F) rows, F ∈ {2…32}       ~220–360 M rows/s — ROW-COUNT-BOUND,
+                                     independent of row width and table size
+scatter-add into 67 MB table          ~10 M rows/s
+scatter-add into ≤8 MB table          59–126 M rows/s (VMEM-resident accum)
+per-ray argsort compaction           439 s XLA compile (!) → replaced by
+                                     cumsum+dropping-scatter (compiles in s)
+=============================================================================
+
+Consequences (implemented in ``acn_tpu.models.encodings``):
+
+1. **Cell-packed layout** (``HashGridConfig.layout = "cell"``): one gathered
+   row per (point, level) carrying all 8 corner features — 8× fewer gather
+   AND scatter rows than the classic corner layout at equal feature payload.
+2. **Per-level tables**: autodiff emits one scatter per table array; keeping
+   each level's table ≤ ~8 MB keeps the grad accumulation in VMEM (6–12×).
+3. bf16 AMP for the gather/matmul path (fp32 masters).
+
+**Why there is no Pallas kernel here.** Pallas/Mosaic on this stack cannot
+express a large-table random row gather:
+
+* direct int indexing of a VMEM ref raises "Cannot do int indexing on TPU";
+* ``lax.gather`` lowers only to ``tpu.dynamic_gather`` for
+  take_along_axis-style batched gathers with operand-shaped indices, and the
+  Mosaic backend crashed compiling even an (8192, 16) instance — the
+  hardware primitive is a vreg-local shuffle, not a table lookup;
+* per-row DMA would cost one descriptor per 8–64 B row.
+
+XLA's native gather/scatter emitters are the TPU's real lookup engine; the
+layout work above is how we ride them. A future SparseCore-equipped platform
+(or Mosaic gaining real VMEM gathers) would slot in under
+``HashGridConfig.backend = "pallas"`` via this module.
+"""
+
+from __future__ import annotations
+
+
+def hash_encode_pallas(table, x01, cfg):
+    """Reserved for a future Mosaic kernel; see module docstring for why the
+    current stack cannot express it. Falls back to the jnp path."""
+    from acn_tpu.models.encodings import hash_encode_cell, hash_encode_jnp
+
+    if cfg.layout == "cell":
+        return hash_encode_cell(table, x01, cfg)
+    return hash_encode_jnp(table, x01, cfg)

@@ -121,10 +121,13 @@ def meta_trainer(
         key, k_step = jax.random.split(key)
         timer.tic("step")
         state, metrics = train_step(state, batch, occ_states, k_step)
-        metrics = jax.device_get(metrics)  # blocks: real step time
-        timer.toc("step")
-
         step += 1
+        # sync only on logging steps: device_get blocks on the full step chain
+        # (and the remote-TPU tunnel adds a round trip per sync)
+        will_log = step % P.print_step == 0 or step == 1
+        if will_log:
+            metrics = jax.device_get(metrics)
+        timer.toc("step")
 
         # occupancy maintenance (reference meta_train_step.py:176-177)
         if use_occ:
@@ -136,13 +139,14 @@ def meta_trainer(
                 logger.log("[OCC] warmup concluded → occupancy renderer")
                 train_step, eval_step = build_steps(True)
 
-        metric_log.update(
-            loss=float(metrics["loss_total"]),
-            psnr_in=float(np.mean(metrics["psnr_in"])),
-            psnr_out=float(np.mean(metrics["psnr_out"])),
-        )
+        if will_log:
+            metric_log.update(
+                loss=float(metrics["loss_total"]),
+                psnr_in=float(np.mean(metrics["psnr_in"])),
+                psnr_out=float(np.mean(metrics["psnr_out"])),
+            )
 
-        if step % P.print_step == 0 or step == 1:
+        if will_log:
             phases = timer.reset()
             dt = time.perf_counter() - t_loop
             t_loop = time.perf_counter()

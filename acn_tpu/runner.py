@@ -366,6 +366,16 @@ def op_view(ctx):
 
 
 def main(argv=None):
+    # live stack dumps on SIGUSR1 — long TPU compiles are indistinguishable
+    # from hangs without this
+    import faulthandler
+    import signal
+
+    try:
+        faulthandler.register(signal.SIGUSR1)
+    except (AttributeError, ValueError):
+        pass
+
     P = parse_args(argv)
     ctx = build_context(P, P.op)
     if P.op == "train":
