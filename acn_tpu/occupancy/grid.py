@@ -134,10 +134,16 @@ def update_occ_grid(
     cell_size = (state["aabbs"][:, 1] - state["aabbs"][:, 0]) / R  # (L, 3)
 
     jitter = jax.random.uniform(key, centers.shape, minval=-0.5, maxval=0.5)
-    x = centers + jitter * cell_size[:, None, :]
+    x = (centers + jitter * cell_size[:, None, :]).reshape(-1, 3)
 
-    sigma = density_fn(x.reshape(-1, 3)).reshape(L, R * R * R)
-    new_occ = sigma * step_size
+    # chunk the density sweep: L·R³ cells at once would materialize
+    # multi-GB encoder intermediates (128³·4 levels ≈ 8.4M points)
+    block = 262_144
+    m = x.shape[0]
+    pad = (-m) % block
+    x_pad = jnp.concatenate([x, jnp.zeros((pad, 3), x.dtype)], axis=0)
+    sigma = jax.lax.map(density_fn, x_pad.reshape(-1, block, 3)).reshape(-1)[:m]
+    new_occ = sigma.reshape(L, R * R * R) * step_size
 
     occs = state["occs"].reshape(L, -1)
     visible = occs >= 0.0

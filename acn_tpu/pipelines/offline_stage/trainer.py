@@ -34,22 +34,33 @@ def make_occ_update_fn(cfg: ContainerConfig, occ_cfg: OccConfig):
     """Jitted all-expert occupancy EMA update
     (reference meta_container.py:386-389 → meta_ngp.py:355-387)."""
 
+    @jax.jit
+    def update_one(expert_p, aabb, occ_state, k):
+        density_fn = lambda x: cfg.expert_density(expert_p, cfg.expert, aabb, x)[
+            ..., 0
+        ]
+        step_size = occ_cfg.step_size_for_traced(aabb)
+        return occ_grid.update_occ_grid(occ_state, k, density_fn, occ_cfg, step_size)
+
     def update_all(variables, occ_states, key):
+        # sequential over experts: the all-cells density sweep is the largest
+        # single computation in the system; vmapping K of them OOMs
         experts = variables["params"]["experts"]
         aabbs = variables["buffers"]["expert_aabbs"]
         K = aabbs.shape[0]
         keys = jax.random.split(key, K)
+        states = [
+            update_one(
+                jax.tree.map(lambda a: a[i], experts),
+                aabbs[i],
+                jax.tree.map(lambda a: a[i], occ_states),
+                keys[i],
+            )
+            for i in range(K)
+        ]
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
 
-        def upd(expert_p, aabb, occ_state, k):
-            density_fn = lambda x: cfg.expert_density(expert_p, cfg.expert, aabb, x)[
-                ..., 0
-            ]
-            step_size = occ_cfg.step_size_for_traced(aabb)
-            return occ_grid.update_occ_grid(occ_state, k, density_fn, occ_cfg, step_size)
-
-        return jax.vmap(upd)(experts, aabbs, occ_states, keys)
-
-    return jax.jit(update_all)
+    return update_all
 
 
 def init_occ_states(expert_aabbs: np.ndarray, occ_cfg: OccConfig):

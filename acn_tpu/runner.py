@@ -335,13 +335,16 @@ def op_eval(ctx):
     from acn_tpu.pipelines.online_stage.runtime_adapt import runtime_evaluate
 
     P = ctx["P"]
+    base_variables = ctx["variables"]  # reset point between TTO settings
     tto_list = [int(t) for t in str(P.tto).split(",")]
     results = []
     for tto in tto_list:
+        ctx["variables"] = base_variables  # (reference nerf_runner.py:327, 343)
         res = runtime_evaluate(ctx, tto=tto)
         results.append({"tto": tto, **res})
         ctx["logger"].log(f"[eval tto={tto}] {res}")
-    # summary table (reference prints a pandas LaTeX table, nerf_runner.py:364-366)
+    # summary table + LaTeX (the reference prints a pandas LaTeX table,
+    # nerf_runner.py:364-366)
     hdr = f"{'tto':>6} {'psnr':>8} {'ssim':>8} {'lpips':>8} {'duration':>9}"
     ctx["logger"].log(hdr)
     for r in results:
@@ -350,6 +353,13 @@ def op_eval(ctx):
             f"{r.get('ssim', float('nan')):>8.4f} {r.get('lpips', float('nan')):>8.4f} "
             f"{r.get('duration', float('nan')):>9.2f}"
         )
+    try:
+        import pandas as pd
+
+        df = pd.DataFrame(results).set_index("tto")
+        ctx["logger"].log("\n" + df.to_latex(float_format="%.4f"))
+    except Exception:
+        pass
     return results
 
 

@@ -1,0 +1,118 @@
+"""Occupancy-guided rendering vs the stratified oracle on a synthetic scene."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from acn_tpu.models import container as cont
+from acn_tpu.models.container import ContainerConfig
+from acn_tpu.models.encodings import HashGridConfig
+from acn_tpu.models.ngp import NGPConfig
+from acn_tpu.nerfs import scene_box as sbox
+from acn_tpu.nerfs.render import render_rays_stratified
+from acn_tpu.nerfs.render_occ import render_expert_occ, render_rays_occ
+from acn_tpu.occupancy import grid as og
+from acn_tpu.occupancy.grid import OccConfig
+
+
+def setup_scene(K=2):
+    cfg = ContainerConfig(
+        num_submodules=K,
+        boundary_margin=1.1,
+        cluster_2d=True,
+        use_bg_nerf=False,
+        expert=NGPConfig(
+            hidden=16, color_hidden=16,
+            hash=HashGridConfig(levels=2, min_res=4, max_res=16,
+                                log2_hashmap_size=8, layout="cell"),
+        ),
+    )
+    cents = jnp.array([[0.0, -0.5, 0.0], [0.0, 0.5, 0.0]])[:K]
+    boxes = jnp.stack([sbox.make_aabb([-1, -1, -1], [1, 1, 1])] * K)
+    gaabb = sbox.make_aabb([-1, -1, -1], [1, 1, 1])
+    variables = cont.init_container(jax.random.PRNGKey(0), cfg, cents, boxes, gaabb)
+    occ_cfg = OccConfig(resolution=32, levels=1, cone_angle=0.0,
+                        near_plane=0.0, far_plane=10.0, alpha_thre=0.0)
+
+    # train-free scene: just mark everything occupied so occ == dense sampling
+    def full_state(ab):
+        st = og.init_occ_state(ab, occ_cfg)
+        return {**st, "binaries": jnp.ones_like(st["binaries"])}
+
+    occ_states = jax.tree.map(
+        lambda *xs: jnp.stack(xs), *[full_state(b) for b in np.asarray(boxes)]
+    )
+    return cfg, variables, occ_cfg, occ_states
+
+
+def rays_through(N=32, key=1):
+    k = jax.random.PRNGKey(key)
+    o = jnp.concatenate(
+        [jax.random.uniform(k, (N, 2), minval=-0.5, maxval=0.5),
+         jnp.full((N, 1), 2.0)], axis=1)
+    d = jnp.tile(jnp.array([0.0, 0.0, -1.0]), (N, 1))
+    nf = jnp.concatenate([jnp.full((N, 1), 1.0), jnp.full((N, 1), 3.0)], axis=1)
+    return jnp.concatenate([o, d, nf], axis=1)
+
+
+def test_expert_occ_close_to_stratified():
+    """With a fully-occupied grid and fine steps, occupancy rendering must
+    approximate the stratified integral of the same field."""
+    cfg, variables, occ_cfg, occ_states = setup_scene(K=1)
+    rays = rays_through(16)
+    occ0 = jax.tree.map(lambda a: a[0], occ_states)
+
+    step = 2.0 / 256  # fine uniform steps across the 2-unit segment
+    rgb_o, depth_o, _, acc_o = render_expert_occ(
+        variables, occ0, cfg, occ_cfg, rays,
+        active_module=0, step_size=step, s_max=512, s_kept=300,
+    )
+
+    model_fn = lambda xd: cont.container_forward(variables, cfg, xd, active_module=0)
+    rgb_s, depth_s, _, acc_s = render_rays_stratified(model_fn, rays, 256)
+
+    np.testing.assert_allclose(np.asarray(acc_o), np.asarray(acc_s), atol=0.05)
+    np.testing.assert_allclose(np.asarray(rgb_o), np.asarray(rgb_s), atol=0.05)
+
+
+def test_container_occ_matches_expert_when_single():
+    """K=1 soft-MoE occ rendering == single-expert occ rendering."""
+    cfg, variables, occ_cfg, occ_states = setup_scene(K=1)
+    rays = rays_through(8)
+    step = 2.0 / 128
+    kwargs = dict(step_size=step, s_max=256, s_kept=160)
+    rgb_c, _, _, acc_c = render_rays_occ(
+        variables, occ_states, cfg, occ_cfg, rays, **kwargs
+    )
+    occ0 = jax.tree.map(lambda a: a[0], occ_states)
+    rgb_e, _, _, acc_e = render_expert_occ(
+        variables, occ0, cfg, occ_cfg, rays, active_module=0, **kwargs
+    )
+    np.testing.assert_allclose(np.asarray(rgb_c), np.asarray(rgb_e), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(acc_c), np.asarray(acc_e), atol=1e-4)
+
+
+def test_container_occ_soft_blend_two_experts():
+    cfg, variables, occ_cfg, occ_states = setup_scene(K=2)
+    rays = rays_through(16)
+    rgb, depth, w, acc = render_rays_occ(
+        variables, occ_states, cfg, occ_cfg, rays,
+        step_size=2.0 / 128, s_max=256, s_kept=160,
+    )
+    assert np.isfinite(np.asarray(rgb)).all()
+    assert np.all(np.asarray(acc) >= 0) and np.all(np.asarray(acc) <= 1 + 1e-5)
+
+
+def test_empty_occupancy_renders_background():
+    cfg, variables, occ_cfg, occ_states = setup_scene(K=1)
+    empty = jax.tree.map(
+        lambda a: jnp.zeros_like(a) if a.dtype == jnp.bool_ else a, occ_states
+    )
+    rays = rays_through(8)
+    bg = jnp.full((8, 3), 0.7)
+    rgb, depth, _, acc = render_rays_occ(
+        variables, empty, cfg, occ_cfg, rays,
+        step_size=2.0 / 64, s_max=128, s_kept=32, bg_rgb=bg,
+    )
+    np.testing.assert_allclose(np.asarray(acc), 0.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(rgb), 0.7, atol=1e-6)
