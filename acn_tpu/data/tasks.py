@@ -177,6 +177,65 @@ class TaskSampler:
         }
 
 
+def build_device_pools(
+    samplers: List["TaskSampler"],
+    max_pool: int = 262_144,
+    seed: int = 0,
+) -> Dict[str, np.ndarray]:
+    """Package per-expert ray stores + per-cell pools as fixed-shape arrays
+    for **device-resident episodic sampling** (SURVEY §7: "episodic sampling
+    becomes jittable index sampling over precomputed per-cell pools").
+
+    Episodes then sample *inside* the jitted train step: pick an eligible
+    micro-cell, pick a random offset into its pre-shuffled index pool, take a
+    contiguous (S+Q)-window — without-replacement within the episode, exactly
+    the reference's cached-shuffled-flat-pool scheme (task_dataset.py:630-678)
+    — and gather the rays. Removes all host-side sampling and per-step
+    host→device transfers (this host has one CPU; the reference assumes a
+    beefy loader machine with 8 workers × K loaders).
+
+    Returns numpy arrays (stacked over K experts, padded):
+      rays (K, N, 8) f32 · rgbs (K, N, 3) f32 ·
+      pool_idx (K, C, P) i32 (shuffled, wrapped to fill) ·
+      pool_size (K, C) i32 · eligible (K, C) bool
+    """
+    K = len(samplers)
+    C = max(len(s.pools) for s in samplers)
+    N = max(len(s.ds.rays) for s in samplers)
+    P = min(max_pool, max(max((len(p) for p in s.pools), default=1)
+                          for s in samplers))
+    rng = np.random.default_rng(seed)
+
+    rays = np.zeros((K, N, 8), np.float32)
+    rays[:, :, 7] = -1.0  # padded rays are inert (far < near)
+    rgbs = np.zeros((K, N, 3), np.float32)
+    pool_idx = np.zeros((K, C, P), np.int32)
+    pool_size = np.zeros((K, C), np.int32)
+    eligible = np.zeros((K, C), bool)
+
+    for k, s in enumerate(samplers):
+        n = len(s.ds.rays)
+        rays[k, :n] = s.ds.rays
+        rgbs[k, :n] = s.ds.rgbs
+        for c, pool in enumerate(s.pools):
+            if len(pool) == 0:
+                continue
+            p = rng.permutation(pool).astype(np.int32)
+            if len(p) > P:
+                p = p[:P]
+            reps = -(-P // len(p))
+            pool_idx[k, c] = np.tile(p, reps)[:P]
+            pool_size[k, c] = min(len(p), P)
+            eligible[k, c] = c in s.eligible
+    return {
+        "rays": rays,
+        "rgbs": rgbs,
+        "pool_idx": pool_idx,
+        "pool_size": pool_size,
+        "eligible": eligible,
+    }
+
+
 class MultiTaskSampler:
     """Lockstep per-expert episodic batches.
 

@@ -273,6 +273,50 @@ def _meta_grads_gradbased(
     return q_losses, inner_losses, g_experts, g_bg
 
 
+def make_device_batch_fn(T: int, S: int, Q: int):
+    """Jittable episodic batch sampling from device-resident pools
+    (see acn_tpu.data.tasks.build_device_pools).
+
+    (pools, key) → stacked (K, T, ·, ·) batch, same layout as
+    MultiTaskSampler.sample_batch — interchangeable with host sampling.
+    """
+
+    def sample_batch(pools, key):
+        K = pools["rays"].shape[0]
+        keys = jax.random.split(key, K * T).reshape(K, T, -1)
+
+        def one_task(rays_k, rgbs_k, pidx_k, psize_k, elig_k, k):
+            k_cell, k_off = jax.random.split(k)
+            # uniform choice among eligible cells
+            logits = jnp.where(elig_k, 0.0, -jnp.inf)
+            c = jax.random.categorical(k_cell, logits)
+            size = jnp.maximum(psize_k[c], 1)
+            off = jax.random.randint(k_off, (), 0, size)
+            win = (off + jnp.arange(S + Q, dtype=jnp.int32)) % size
+            idx = pidx_k[c][win]  # (S+Q,) ray ids
+            r = rays_k[idx]
+            g = rgbs_k[idx]
+            return r[:S], g[:S], r[S:], g[S:]
+
+        def per_expert(rays_k, rgbs_k, pidx_k, psize_k, elig_k, ks):
+            return jax.vmap(
+                lambda kk: one_task(rays_k, rgbs_k, pidx_k, psize_k, elig_k, kk)
+            )(ks)
+
+        sr, sg, qr, qg = jax.vmap(per_expert)(
+            pools["rays"], pools["rgbs"], pools["pool_idx"],
+            pools["pool_size"], pools["eligible"], keys,
+        )
+        return {
+            "support_rays": sr,
+            "support_rgbs": sg,
+            "query_rays": qr,
+            "query_rgbs": qg,
+        }
+
+    return sample_batch
+
+
 def make_meta_train_step(
     cfg: ContainerConfig,
     P,

@@ -89,8 +89,15 @@ def meta_trainer(
     mesh=None,
     start_step: int = 0,
     best: float = float("-inf"),
+    device_pools=None,
 ) -> Dict[str, Any]:
-    """Run meta-training; returns the final state."""
+    """Run meta-training; returns the final state.
+
+    With ``device_pools`` (see tasks.build_device_pools), episodic sampling
+    fuses into the jitted step — the loop body issues exactly one device
+    computation and zero host transfers per step."""
+    from acn_tpu.pipelines.offline_stage.train_step import make_device_batch_fn
+
     K = cfg.num_submodules
     use_occ = occ_cfg is not None
     occ_ready = use_occ and start_step >= occ_cfg.warmup_steps
@@ -102,9 +109,25 @@ def meta_trainer(
             else dummy_occ_states(K)
         )
 
+    if device_pools is not None:
+        device_pools = {k: jnp.asarray(v) for k, v in device_pools.items()}
+        sample_fn = make_device_batch_fn(
+            int(P.batch_size), int(P.support_rays), int(P.query_rays)
+        )
+
     def build_steps(with_occ_render: bool):
         oc = occ_cfg if with_occ_render else None
-        tr = jax.jit(make_meta_train_step(cfg, P, optimizer, oc), donate_argnums=(0,))
+        base_step = make_meta_train_step(cfg, P, optimizer, oc)
+        if device_pools is not None:
+
+            def fused(state, pools, occ, key):
+                k_s, k_t = jax.random.split(key)
+                batch = sample_fn(pools, k_s)
+                return base_step(state, batch, occ, k_t)
+
+            tr = jax.jit(fused, donate_argnums=(0,))
+        else:
+            tr = jax.jit(base_step, donate_argnums=(0,))
         ev = jax.jit(make_eval_step(cfg, P, oc))
         return tr, ev
 
@@ -114,6 +137,8 @@ def meta_trainer(
     if mesh is not None:
         state = shard_by_expert_axis(state, mesh, K)
         occ_states = shard_by_expert_axis(occ_states, mesh, K)
+        if device_pools is not None:
+            device_pools = shard_by_expert_axis(device_pools, mesh, K)
 
     metric_log = MetricLogger()
     timer = PhaseTimer()
@@ -121,13 +146,19 @@ def meta_trainer(
 
     step = start_step
     t_loop = time.perf_counter()
+    rays_per_step = (
+        K * P.batch_size * (P.support_rays * P.inner_iter + P.query_rays)
+    )
     while step < P.outer_steps:
-        timer.tic("data")
-        batch_np = train_sampler.sample_batch(P.batch_size)
-        batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
-        if mesh is not None:
-            batch = shard_by_expert_axis(batch, mesh, K)
-        timer.toc("data")
+        if device_pools is not None:
+            batch = device_pools  # sampling fused into the jitted step
+        else:
+            timer.tic("data")
+            batch_np = train_sampler.sample_batch(P.batch_size)
+            batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+            if mesh is not None:
+                batch = shard_by_expert_axis(batch, mesh, K)
+            timer.toc("data")
 
         key, k_step = jax.random.split(key)
         timer.tic("step")
@@ -161,10 +192,6 @@ def meta_trainer(
             phases = timer.reset()
             dt = time.perf_counter() - t_loop
             t_loop = time.perf_counter()
-            rays_per_task = batch_np["support_rays"].shape[2] * P.inner_iter + batch_np[
-                "query_rays"
-            ].shape[2]
-            rays_per_step = K * P.batch_size * rays_per_task
             logger.log(
                 f"step {step}/{P.outer_steps} {metric_log} "
                 f"| {dt / max(P.print_step, 1):.3f}s/it "

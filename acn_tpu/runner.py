@@ -225,6 +225,12 @@ def build_context(P, op: str) -> Dict[str, Any]:
         ctx["test_sampler"] = (
             MultiTaskSampler(test_samplers) if test_samplers else None
         )
+        if not getattr(P, "no_device_sampling", False):
+            from acn_tpu.data.tasks import build_device_pools
+
+            ctx["device_pools"] = build_device_pools(train_samplers, seed=P.seed)
+        else:
+            ctx["device_pools"] = None
 
         labels = cont.param_group_labels(ctx["variables"], cfg)
         ctx["optimizer"] = build_optimizer(P, labels, grad_clip=P.grad_clip)
@@ -327,6 +333,7 @@ def op_train(ctx):
         mesh=ctx["mesh"],
         start_step=ctx["step"],
         best=ctx["best"],
+        device_pools=ctx.get("device_pools"),
     )
     logger.close()
 

@@ -179,6 +179,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--viewer_timeout", type=int, default=900)
     parser.add_argument("--viewer_public_host", type=str, default="127.0.0.1")
 
+    parser.add_argument(
+        "--no_device_sampling", action="store_true",
+        help="sample episodes on the host (reference-style loaders) instead "
+        "of fusing episodic sampling into the jitted train step",
+    )
+
     # --- parallelism (TPU mesh; no reference analogue — it is single-GPU)
     parser.add_argument("--mesh_experts", type=int, default=None,
                         help="devices along the expert axis (None = auto)")
