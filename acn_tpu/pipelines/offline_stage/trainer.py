@@ -220,9 +220,12 @@ def meta_trainer(
             logger.log(f"[eval] step {step} query PSNR {psnr:.3f} (best {best:.3f})")
             if psnr > best:
                 best = psnr
+                # occ grids are regenerable (premark + warmup) and dominate
+                # checkpoint size — only the final 'last' save keeps them
+                # (the reference intended the same stripping, utils.py:283-289)
                 save_checkpoint(
                     logger.logdir, "best", state["variables"],
-                    opt_state=state["opt_state"], occ_states=occ_states if use_occ else None,
+                    opt_state=state["opt_state"], occ_states=None,
                     P=P, step=step, best=best, is_best=True,
                 )
                 logger.log(f"[ckpt] new best ({best:.3f}) saved")
@@ -230,7 +233,7 @@ def meta_trainer(
         if step % P.save_step == 0:
             save_checkpoint(
                 logger.logdir, f"step{step}", state["variables"],
-                opt_state=state["opt_state"], occ_states=occ_states if use_occ else None,
+                opt_state=state["opt_state"], occ_states=None,
                 P=P, step=step, best=best,
             )
 

@@ -40,12 +40,15 @@ class Renderer:
         self.occ_cfg = occ_cfg
         if chunk_rays is None:
             # budget point-expert evals per chunk from P.chunk_points: the
-            # dense routed eval touches all K experts per sample, and the
-            # jnp hash gather builds 8-corner temporaries — stay well under
-            # the reference's per-chunk point count
+            # dense routed eval touches all K experts per sample; the corner
+            # hash layout additionally builds 8-corner temporaries (the cell
+            # layout gathers packed rows, no blowup)
             k = max(cfg.num_submodules, 1)
             s = max(int(P.ray_samples), 1)
-            chunk_rays = max(1024, int(P.chunk_points) // (8 * k * s))
+            expert = getattr(cfg, "expert", None)
+            corner = getattr(getattr(expert, "hash", None), "layout", "cell") == "corner"
+            blow = 8 if corner else 1
+            chunk_rays = max(1024, int(P.chunk_points) // (blow * k * s))
         self.chunk_rays = int(chunk_rays)
         self._jitted = {}
 
