@@ -11,11 +11,13 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# Strictly below log(dtype_max) so exp(clamp) is finite under any rounding
+# mode (exp(88.7228) rounds to inf on some float32 backends).
 _EXP_MAX = {
-    jnp.float16.dtype: 11.089866488,  # ~log(65504)
-    jnp.bfloat16.dtype: 88.722839111,  # ~log(3.4e38)
-    jnp.float32.dtype: 88.722839111,
-    jnp.float64.dtype: 709.782712893,
+    jnp.float16.dtype: 11.0,  # exp ~ 5.99e4 < 65504
+    jnp.bfloat16.dtype: 88.0,  # exp ~ 1.65e38 < 3.39e38
+    jnp.float32.dtype: 88.0,
+    jnp.float64.dtype: 709.0,
 }
 
 
