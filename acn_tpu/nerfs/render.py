@@ -122,11 +122,14 @@ def render_weights_from_density(
     t_ends: Array,  # (N, S)
     sigmas: Array,  # (N, S)
     sample_mask: Optional[Array] = None,  # (N, S)
+    dts: Optional[Array] = None,  # (N, S) interval-width override
 ) -> Tuple[Array, Array]:
     """Static-shape equivalent of nerfacc ``render_weight_from_density``
     (reference ray_rendering.py:477-481): per-sample weights from interval
-    densities over a fixed layout. Returns (weights (N,S), trans (N,S))."""
-    dt = jnp.maximum(t_ends - t_starts, 0.0)
+    densities over a fixed layout. ``dts`` overrides the interval widths
+    (the occupancy marcher pre-scales widths by its compaction stride).
+    Returns (weights (N,S), trans (N,S))."""
+    dt = jnp.maximum(t_ends - t_starts if dts is None else dts, 0.0)
     sigma = jnp.maximum(sigmas, 0.0)
     if sample_mask is not None:
         sigma = jnp.where(sample_mask, sigma, 0.0)

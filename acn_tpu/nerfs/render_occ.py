@@ -46,7 +46,6 @@ def render_expert_occ(
     rays: Array,  # (N, 8)
     *,
     active_module: int,
-    step_size: float,
     s_max: int,
     s_kept: int,
     alpha_thre: float = 0.0,
@@ -58,9 +57,7 @@ def render_expert_occ(
 
     Returns (rgb_map, depth, weights (N, s_kept), acc).
     """
-    samples = occ_grid.march_rays(
-        occ_state, rays, occ_cfg, step_size, s_max, s_kept, key=key
-    )
+    samples = occ_grid.march_rays(occ_state, rays, occ_cfg, s_max, s_kept, key=key)
     x = samples["positions"]  # (N, S, 3)
     d = jnp.broadcast_to(rays[:, None, 3:6], x.shape)
     xd = jnp.concatenate([x, d], axis=-1).reshape(-1, 6)
@@ -75,12 +72,13 @@ def render_expert_occ(
 
     mask = samples["mask"]
     if alpha_thre > 0.0:
-        dt = jnp.maximum(samples["t_ends"] - samples["t_starts"], 0.0)
+        dt = jnp.maximum(samples["dts"], 0.0)
         alpha = 1.0 - jnp.exp(-jnp.maximum(sigmas, 0.0) * dt)
         mask = mask & (alpha >= alpha_thre)
 
     weights, _ = render_weights_from_density(
-        samples["t_starts"], samples["t_ends"], sigmas, sample_mask=mask
+        samples["t_starts"], samples["t_ends"], sigmas, sample_mask=mask,
+        dts=samples["dts"],
     )
     t_mid = 0.5 * (samples["t_starts"] + samples["t_ends"])
     rgb_map, depth, acc = composite(weights, rgbs, t_mid, bg_rgb=bg_rgb)
@@ -94,7 +92,6 @@ def render_rays_occ(
     occ_cfg: OccConfig,
     rays: Array,  # (N, 8)
     *,
-    step_size: float,
     s_max: int,
     s_kept: int,
     alpha_thre: float = 0.0,
@@ -122,23 +119,27 @@ def render_rays_occ(
         per_k = jax.vmap(one)(occ_states, expert_aabbs)  # (K, N, S)
         return jnp.any(per_k, axis=0)
 
-    # march against a trivially-true base grid: reuse expert 0's schedule-only
-    # machinery by passing extra_valid_fn and an always-on lookup
     o, d = rays[:, :3], rays[:, 3:6]
     near = jnp.maximum(rays[:, 6], occ_cfg.near_plane)
     far = jnp.minimum(rays[:, 7], occ_cfg.far_plane)
     far = jnp.maximum(far, near)
 
-    t0, t1 = occ_grid.march_t_schedule(
-        near, far, step_size, occ_cfg.cone_angle, s_max, key
-    )
-    t_mid_all = 0.5 * (t0 + t1)
-    x_all = o[:, None, :] + d[:, None, :] * t_mid_all[..., None]
+    e = jnp.linspace(0.0, 1.0, s_max + 1, dtype=jnp.float32)[None, :]
+    edges = near[:, None] * (1.0 - e) + far[:, None] * e
+    t0, t1 = edges[:, :-1], edges[:, 1:]
+    if key is not None:
+        k_jit, k_phase = jax.random.split(key)
+        u = jax.random.uniform(k_jit, t0.shape, dtype=jnp.float32)
+    else:
+        k_phase, u = None, 0.5
+    t_s = t0 + u * (t1 - t0)
+    x_all = o[:, None, :] + d[:, None, :] * t_s[..., None]
 
     valid = (t1 > t0) & any_expert_valid(x_all)
-    idx, mask = occ_grid.compact_samples(valid, s_kept)
+    idx, mask, scale = occ_grid.compact_samples_strided(valid, s_kept, key=k_phase)
     t0k = jnp.take_along_axis(t0, idx, axis=1)
     t1k = jnp.take_along_axis(t1, idx, axis=1)
+    dts = (t1k - t0k) * scale[:, None]
     xk = jnp.take_along_axis(x_all, idx[..., None], axis=1)  # (N, S, 3)
     dk = jnp.broadcast_to(d[:, None, :], xk.shape)
 
@@ -170,11 +171,13 @@ def render_rays_occ(
     rgbs = rgb_mix.reshape(N, S, 3)
 
     if alpha_thre > 0.0:
-        dt = jnp.maximum(t1k - t0k, 0.0)
+        dt = jnp.maximum(dts, 0.0)
         alpha = 1.0 - jnp.exp(-jnp.maximum(sigmas, 0.0) * dt)
         mask = mask & (alpha >= alpha_thre)
 
-    weights, _ = render_weights_from_density(t0k, t1k, sigmas, sample_mask=mask)
+    weights, _ = render_weights_from_density(
+        t0k, t1k, sigmas, sample_mask=mask, dts=dts
+    )
     t_mid = 0.5 * (t0k + t1k)
     rgb_map, depth, acc = composite(weights, rgbs, t_mid, bg_rgb=bg_rgb)
     return rgb_map, depth, weights, acc

@@ -11,10 +11,14 @@ reference at models/inr/meta_ngp.py:126-443) and its packed ragged sampling
   frustum test over all cell centers (reference meta_ngp.py:260-353 calls
   nerfacc's CUDA version; the math is identical);
 * ray marching emits a **fixed** ``(N, S)`` sample layout with a validity
-  mask instead of variable-length packed tensors: a closed-form cone-scaled
-  t-schedule generates ``S_max`` candidates, occupancy lookups mask them, and
-  a stable-sort compaction keeps the first ``S_kept`` valid samples per ray.
-  Static shapes everywhere ⇒ the whole render path jit-compiles once.
+  mask instead of variable-length packed tensors: ``S_max`` uniform bins
+  span the *full* per-ray [near, far], occupancy lookups mask them, and an
+  **even-stride compaction** keeps every ⌈n_valid/S_kept⌉-th occupied bin
+  (interval widths scaled by the stride so opacity stays unbiased). With a
+  sharp grid this concentrates all samples in occupied space; with a diffuse
+  grid it degrades gracefully to plain stratified sampling over the whole
+  ray — never truncating scene content the way a "first-k occupied"
+  compaction would. Static shapes everywhere ⇒ one jit compilation.
 
 Level l covers the roi AABB scaled by 2^l around its center (nerfacc
 semantics). ``occs < 0`` marks camera-invisible cells which are excluded from
@@ -40,7 +44,9 @@ class OccConfig:
     (meta_ngp.py:102-141)."""
 
     resolution: int = 128
-    levels: int = 4
+    levels: int = 1  # per-expert rays are clamped to the expert AABB = level 0;
+    # extra 2^l-inflated levels (nerfacc's unbounded-scene contraction) only
+    # pay off for unclamped global marching — keep them opt-in
     occ_thre: float = 1e-2
     ema_decay: float = 0.95
     warmup_steps: int = 256
@@ -314,11 +320,49 @@ def compact_samples(valid: Array, s_kept: int) -> Tuple[Array, Array]:
     return idx, kept_valid
 
 
+def compact_samples_strided(
+    valid: Array, s_kept: int, key: Optional[jax.Array] = None
+) -> Tuple[Array, Array, Array]:
+    """Even-stride compaction: keep every ⌈n_valid/s_kept⌉-th valid sample.
+
+    Unlike ``compact_samples`` (first-k), this never truncates ray coverage:
+    rays with more occupied bins than ``s_kept`` are *subsampled evenly*
+    along their whole valid extent, and the returned per-ray ``scale``
+    (= the stride) lets the renderer widen each kept interval so expected
+    opacity stays unbiased. With ``key``, the stride phase is randomized
+    per ray (the occupancy-path analogue of stratified jitter).
+
+    Returns (idx (N, s_kept) int32, mask (N, s_kept) bool, scale (N,) f32).
+    """
+    n, s_max = valid.shape
+    counts = jnp.cumsum(valid.astype(jnp.int32), axis=1)  # inclusive
+    n_valid = counts[:, -1]  # (N,)
+    stride = jnp.maximum(1, -(-n_valid // s_kept))  # ceil div, (N,)
+
+    rank = counts - 1  # a valid sample's rank among valid ones
+    if key is not None:
+        phase = jax.random.randint(key, (n,), 0, 1 << 30) % stride
+    else:
+        phase = jnp.zeros((n,), jnp.int32)
+    rel = rank - phase[:, None]
+    take = valid & (rel >= 0) & (rel % stride[:, None] == 0)
+    slot = rel // stride[:, None]  # < s_kept by construction
+
+    pos = jnp.where(take, slot, s_kept)  # non-kept → dropped by scatter
+    src = jnp.broadcast_to(jnp.arange(s_max, dtype=jnp.int32), (n, s_max))
+    idx = jax.vmap(
+        lambda p, s: jnp.zeros(s_kept, jnp.int32).at[p].set(s, mode="drop")
+    )(pos, src)
+
+    kept = jnp.maximum(-(-(n_valid - phase) // stride), 0)
+    mask = jnp.arange(s_kept, dtype=jnp.int32)[None, :] < kept[:, None]
+    return idx, mask, stride.astype(jnp.float32)
+
+
 def march_rays(
     state: Dict[str, Any],
     rays: Array,  # (N, 8)
     cfg: OccConfig,
-    step_size: float,
     s_max: int,
     s_kept: int,
     key: Optional[jax.Array] = None,
@@ -327,8 +371,17 @@ def march_rays(
     """Occupancy-guided marching → fixed-layout samples.
 
     Replaces nerfacc ``OccGridEstimator.sampling`` (reference
-    meta_ngp.py:389-443). Returns dict with t_starts/t_ends (N, s_kept),
-    positions (N, s_kept, 3), and mask (N, s_kept).
+    meta_ngp.py:389-443) with a TPU-native scheme: ``s_max`` uniform bins
+    span the full per-ray [near, far]; occupancy culls them; even-stride
+    compaction (see ``compact_samples_strided``) reduces to ``s_kept``
+    model evaluations per ray with interval widths pre-scaled by the
+    stride. Returns dict with t_starts/t_ends (N, s_kept) (original bin
+    bounds), dts (stride-scaled widths — use these for opacity), positions
+    (N, s_kept, 3), and mask (N, s_kept).
+
+    With ``key``: sample positions jitter within bins and the compaction
+    phase randomizes (training); without, bin midpoints and phase 0
+    (deterministic rendering).
 
     ``extra_valid_fn`` lets callers AND in additional per-point validity
     (e.g. "any expert's occupancy" for the container path).
@@ -339,17 +392,33 @@ def march_rays(
     far = jnp.minimum(far, cfg.far_plane)
     far = jnp.maximum(far, near)  # empty interval for invalid rays
 
-    t0, t1 = march_t_schedule(near, far, step_size, cfg.cone_angle, s_max, key)
-    t_mid = 0.5 * (t0 + t1)
-    x = o[:, None, :] + d[:, None, :] * t_mid[..., None]  # (N, S_max, 3)
+    e = jnp.linspace(0.0, 1.0, s_max + 1, dtype=jnp.float32)[None, :]
+    edges = near[:, None] * (1.0 - e) + far[:, None] * e  # (N, s_max+1)
+    t0, t1 = edges[:, :-1], edges[:, 1:]
+
+    if key is not None:
+        k_jit, k_phase = jax.random.split(key)
+        u = jax.random.uniform(k_jit, t0.shape, dtype=jnp.float32)
+    else:
+        k_phase = None
+        u = 0.5
+    t_s = t0 + u * (t1 - t0)
+    x = o[:, None, :] + d[:, None, :] * t_s[..., None]  # (N, s_max, 3)
 
     valid = (t1 > t0) & occupancy_lookup(state, x)
     if extra_valid_fn is not None:
         valid = valid & extra_valid_fn(x)
 
-    idx, mask = compact_samples(valid, s_kept)
+    idx, mask, scale = compact_samples_strided(valid, s_kept, key=k_phase)
     t0k = jnp.take_along_axis(t0, idx, axis=1)
     t1k = jnp.take_along_axis(t1, idx, axis=1)
     xk = jnp.take_along_axis(x, idx[..., None], axis=1)
+    dts = (t1k - t0k) * scale[:, None]
 
-    return {"t_starts": t0k, "t_ends": t1k, "positions": xk, "mask": mask}
+    return {
+        "t_starts": t0k,
+        "t_ends": t1k,
+        "dts": dts,
+        "positions": xk,
+        "mask": mask,
+    }

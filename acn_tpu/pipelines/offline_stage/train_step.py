@@ -64,11 +64,19 @@ def make_bg_fn(cfg: ContainerConfig, P) -> Callable:
 def make_episode_loss(cfg: ContainerConfig, P, occ_cfg: Optional[OccConfig] = None):
     """Episode loss builder.
 
-    Returns loss(expert_params, bg_params, aabb, occ_state_or_None, rays,
-    rgbs, key) → scalar: render the rays with the given single expert
-    (stratified while occupancy is not ready, occupancy-guided after) and
-    align+MSE against GT (reference losses.py:10-32, render dispatch
-    ray_rendering.py:564-574).
+    Returns (loss_fn, prepare_samples):
+
+    * loss(expert_params, bg_params, aabb, occ_state_or_None, rays, rgbs,
+      key, samples=None) → scalar: render the rays with the given single
+      expert (stratified while occupancy is not ready, occupancy-guided
+      after) and align+MSE against GT (reference losses.py:10-32, render
+      dispatch ray_rendering.py:564-574).
+    * prepare_samples(occ_state, rays, key) → samples-or-None: the occupancy
+      march for one episode's rays. Marching has no trainable inputs, so
+      callers precompute it ONCE per episode and reuse it across all inner
+      iterations (the reference re-marches every iteration only because
+      nerfacc's CUDA sampler is cheap relative to its MLP; here the march is
+      a measurable fraction of a step and the support rays are fixed).
 
     Memory: an episode is support_rays × ray_samples points — chip-saturating
     at reference scale — so rays render in fixed chunks via ``lax.map`` with
@@ -78,14 +86,21 @@ def make_episode_loss(cfg: ContainerConfig, P, occ_cfg: Optional[OccConfig] = No
     """
     bg_fn = make_bg_fn(cfg, P)
     use_occ = occ_cfg is not None
-    step_size_cfg = occ_cfg
     # 0 disables ray chunking (one fused render per episode). Enable for
     # memory-constrained configs; note deeply nested scan/map programs
     # compile slowly on TPU.
     chunk = int(getattr(P, "train_chunk_rays", 0) or 0)
     use_amp = bool(getattr(P, "use_amp", False))
 
-    def render_chunk(expert_params, aabb, occ_state, rays, bg, key):
+    def prepare_samples(occ_state, rays, key):
+        if not use_occ or (chunk > 0 and rays.shape[0] > chunk):
+            return None  # chunked path re-marches per chunk
+        return occ_grid.march_rays(
+            occ_state, rays, occ_cfg, int(P.occ_s_max), int(P.occ_s_kept),
+            key=key,
+        )
+
+    def render_chunk(expert_params, aabb, occ_state, rays, bg, key, samples=None):
         """(chunk, 8) rays → (chunk, 3) rgb."""
         if use_amp:
             # bf16 compute (the TPU analogue of the reference's fp16
@@ -111,30 +126,34 @@ def make_episode_loss(cfg: ContainerConfig, P, occ_cfg: Optional[OccConfig] = No
                 bg_rgb=bg,
             )
         else:
-            step_size = step_size_cfg.step_size_for_traced(aabb)
-            samples = occ_grid.march_rays(
-                occ_state, rays, step_size_cfg, step_size,
-                int(P.occ_s_max), int(P.occ_s_kept), key=key,
-            )
+            if samples is None:
+                samples = occ_grid.march_rays(
+                    occ_state, rays, occ_cfg,
+                    int(P.occ_s_max), int(P.occ_s_kept), key=key,
+                )
             x = samples["positions"]
             d = jnp.broadcast_to(rays[:, None, 3:6], x.shape)
             xd = jnp.concatenate([x, d], axis=-1).reshape(-1, 6)
             out = fwd(xd).reshape(x.shape[0], x.shape[1], 4)
             weights, _ = render_weights_from_density(
                 samples["t_starts"], samples["t_ends"], out[..., 3],
-                sample_mask=samples["mask"],
+                sample_mask=samples["mask"], dts=samples["dts"],
             )
             t_mid = 0.5 * (samples["t_starts"] + samples["t_ends"])
             rgb_map, _, _ = composite(weights, out[..., :3], t_mid, bg_rgb=bg)
         return rgb_map
 
-    def loss_fn(expert_params, bg_params, aabb, occ_state, rays, rgbs, key):
+    def loss_fn(expert_params, bg_params, aabb, occ_state, rays, rgbs, key,
+                samples=None):
         n = rays.shape[0]
         k_render, k_bg = jax.random.split(key)
         bg = bg_fn(bg_params, rays[:, 3:6], k_bg)
 
         if chunk <= 0 or n <= chunk:
-            rgb_map = render_chunk(expert_params, aabb, occ_state, rays, bg, k_render)
+            rgb_map = render_chunk(
+                expert_params, aabb, occ_state, rays, bg, k_render,
+                samples=samples,
+            )
             return aligned_mse_loss(rgb_map, rgbs, P.color_space)
 
         c = -(-n // chunk)  # ceil
@@ -164,11 +183,12 @@ def make_episode_loss(cfg: ContainerConfig, P, occ_cfg: Optional[OccConfig] = No
         ).reshape(c * chunk, 3)[:n]
         return aligned_mse_loss(rgb_map, rgbs, P.color_space)
 
-    return loss_fn
+    return loss_fn, prepare_samples
 
 
 def _meta_grads_gradbased(
-    episode_loss, algo, params, bufs, occ_states, batch, key, inner_lr, inner_iter
+    episode_loss, prep, algo, params, bufs, occ_states, batch, key,
+    inner_lr, inner_iter, fim_cfg=None,
 ):
     """MAML/FoMAML meta-gradients, scan-over-tasks with grad accumulation.
 
@@ -193,6 +213,13 @@ def _meta_grads_gradbased(
     keys = jax.random.split(key, K * T).reshape(K, T, -1)
 
     def task_grad(expert_p, aabb, occ_state, sr, sg, qr, qg, k):
+        # marching is param-free: march support/query rays ONCE per episode
+        # and reuse the samples across all inner iterations (None when the
+        # stratified path is active)
+        k, k_ms, k_mq = jax.random.split(k, 3)
+        smp_s = prep(occ_state, sr, k_ms)
+        smp_q = prep(occ_state, qr, k_mq)
+
         if algo == "fomaml":
             # Explicit first-order meta-gradient: adapt WITHOUT building any
             # outer differentiation through the inner scan (d fast/dθ = I),
@@ -200,16 +227,30 @@ def _meta_grads_gradbased(
             # exactly the reference's create_graph=False semantics
             # (meta_core.py:52-64) and costs 8×(support fwd+bwd) + 1×(query
             # fwd+bwd) — nothing more.
-            sup = lambda p, b, kk: episode_loss(p, bg, aabb, occ_state, b[0], b[1], kk)
-            k_in, k_q = jax.random.split(k)
-            fast, inner_losses = meta_core.task_adapt(
-                sup, jax.lax.stop_gradient(expert_p), (sr, sg), k_in,
-                inner_lr, inner_iter, first_order=True,
+            sup = lambda p, b, kk: episode_loss(
+                p, bg, aabb, occ_state, b[0], b[1], kk, samples=smp_s
             )
+            k_in, k_q = jax.random.split(k)
+            if fim_cfg is not None:
+                # Fisher-preconditioned inner SGD (--fim; the reference
+                # scaffolds this in losses.py:35-151 but never wires it)
+                from acn_tpu.models import fim as fim_mod
+
+                fast, _, inner_losses = fim_mod.fim_task_adapt(
+                    sup, jax.lax.stop_gradient(expert_p),
+                    fim_mod.fisher_init(expert_p), (sr, sg), k_in,
+                    inner_lr, inner_iter, **fim_cfg,
+                )
+            else:
+                fast, inner_losses = meta_core.task_adapt(
+                    sup, jax.lax.stop_gradient(expert_p), (sr, sg), k_in,
+                    inner_lr, inner_iter, first_order=True,
+                )
 
             def q_loss_fn(ep, bp):
-                q = lambda p, b, kk: episode_loss(p, bp, aabb, occ_state, b[0], b[1], kk)
-                return q(ep, (qr, qg), k_q)
+                return episode_loss(
+                    ep, bp, aabb, occ_state, qr, qg, k_q, samples=smp_q
+                )
 
             argnums = (0, 1) if has_bg else (0,)
             q_loss, grads = jax.value_and_grad(q_loss_fn, argnums=argnums)(fast, bg)
@@ -218,9 +259,14 @@ def _meta_grads_gradbased(
             return q_loss, inner_losses, g_e, g_b
 
         def outer(ep, bp):
-            sup = lambda p, b, kk: episode_loss(p, bp, aabb, occ_state, b[0], b[1], kk)
+            sup = lambda p, b, kk: episode_loss(
+                p, bp, aabb, occ_state, b[0], b[1], kk, samples=smp_s
+            )
+            qry = lambda p, b, kk: episode_loss(
+                p, bp, aabb, occ_state, b[0], b[1], kk, samples=smp_q
+            )
             return outer_fn(
-                sup, sup, ep, (sr, sg), (qr, qg), k, inner_lr, inner_iter
+                sup, qry, ep, (sr, sg), (qr, qg), k, inner_lr, inner_iter
             )
 
         argnums = (0, 1) if has_bg else (0,)
@@ -271,6 +317,17 @@ def _meta_grads_gradbased(
         jax.tree.map(lambda g: jnp.sum(g, axis=0), g_bg_per_k) if has_bg else None
     )
     return q_losses, inner_losses, g_experts, g_bg
+
+
+def _fim_cfg_from(P):
+    """kwargs for fim_task_adapt when --fim is set, else None."""
+    if not bool(getattr(P, "fim", False)):
+        return None
+    return dict(
+        beta=float(getattr(P, "fim_beta", 0.95)),
+        lam=float(getattr(P, "fim_lambda", 0.1)),
+        epsilon=float(getattr(P, "fim_epsilon", 1e-6)),
+    )
 
 
 def make_device_batch_fn(T: int, S: int, Q: int):
@@ -331,10 +388,15 @@ def make_meta_train_step(
     Returns (state, metrics) with metrics {loss_out, loss_in, psnr_out,
     psnr_in, grad_norm} — the reference's per-region scalars
     (meta_train_step.py:193-253)."""
-    episode_loss = make_episode_loss(cfg, P, occ_cfg)
+    episode_loss, prep = make_episode_loss(cfg, P, occ_cfg)
     algo = P.algo.lower()
     inner_lr = float(P.inner_lr)
     inner_iter = int(P.inner_iter)
+    fim_cfg = _fim_cfg_from(P)
+    if fim_cfg is not None and algo == "maml":
+        raise ValueError(
+            "--fim is a first-order preconditioner; use --algo fomaml"
+        )
 
     if algo in ("maml", "fomaml"):
 
@@ -343,8 +405,8 @@ def make_meta_train_step(
             bufs = variables["buffers"]
 
             q_losses, inner_losses, g_experts, g_bg = _meta_grads_gradbased(
-                episode_loss, algo, variables["params"], bufs, occ_states,
-                batch, key, inner_lr, inner_iter,
+                episode_loss, prep, algo, variables["params"], bufs, occ_states,
+                batch, key, inner_lr, inner_iter, fim_cfg=fim_cfg,
             )
             # Σ_regions mean_tasks — the fed-avg ×K scaling (see module doc)
             loss = jnp.sum(jnp.mean(q_losses, axis=1))
@@ -388,14 +450,18 @@ def make_meta_train_step(
             keys = jax.random.split(key, K * T).reshape(K, T, -1)
 
             def per_task(expert_p, aabb, occ_state, sr, sg, qr, qg, k):
+                k_in, k_q, k_ms, k_mq = jax.random.split(k, 4)
+                smp_s = prep(occ_state, sr, k_ms)
+                smp_q = prep(occ_state, qr, k_mq)
                 sup_loss = lambda p, b, kk: episode_loss(
-                    p, bg, aabb, occ_state, b[0], b[1], kk
+                    p, bg, aabb, occ_state, b[0], b[1], kk, samples=smp_s
                 )
-                k_in, k_q = jax.random.split(k)
                 fast, inner_losses = meta_core.reptile_adapt(
                     sup_loss, expert_p, (sr, sg), k_in, inner_lr, inner_iter
                 )
-                q_loss = sup_loss(fast, (qr, qg), k_q)
+                q_loss = episode_loss(
+                    fast, bg, aabb, occ_state, qr, qg, k_q, samples=smp_q
+                )
                 return fast, q_loss, inner_losses
 
             def per_expert(expert_p, aabb, occ_state, sr, sg, qr, qg, ks):
@@ -467,9 +533,10 @@ def make_eval_step(
     """Mid-training eval (reference meta_eval_step.py:16-148): adapt each test
     task with ``tto`` inner steps, return post-adaptation query PSNR per
     region. Batch layout identical to the train step."""
-    episode_loss = make_episode_loss(cfg, P, occ_cfg)
+    episode_loss, prep = make_episode_loss(cfg, P, occ_cfg)
     inner_lr = float(P.inner_lr)
     iterations = int(P.inner_iter if tto is None else tto)
+    fim_cfg = _fim_cfg_from(P)
 
     def eval_step(variables, batch, occ_states, key):
         bufs = variables["buffers"]
@@ -482,16 +549,30 @@ def make_eval_step(
         keys = jax.random.split(key, K * T).reshape(K, T, -1)
 
         def per_task(expert_p, aabb, occ_state, sr, sg, qr, qg, k):
-            sup_loss = lambda p, b, kk: episode_loss(p, bg, aabb, occ_state, b[0], b[1], kk)
-            k_in, k_q = jax.random.split(k)
+            k_in, k_q, k_ms, k_mq = jax.random.split(k, 4)
+            smp_s = prep(occ_state, sr, k_ms)
+            smp_q = prep(occ_state, qr, k_mq)
+            sup_loss = lambda p, b, kk: episode_loss(
+                p, bg, aabb, occ_state, b[0], b[1], kk, samples=smp_s
+            )
             if iterations > 0:
-                fast, _ = meta_core.task_adapt(
-                    sup_loss, expert_p, (sr, sg), k_in, inner_lr, iterations,
-                    first_order=True,
-                )
+                if fim_cfg is not None:
+                    from acn_tpu.models import fim as fim_mod
+
+                    fast, _, _ = fim_mod.fim_task_adapt(
+                        sup_loss, expert_p, fim_mod.fisher_init(expert_p),
+                        (sr, sg), k_in, inner_lr, iterations, **fim_cfg,
+                    )
+                else:
+                    fast, _ = meta_core.task_adapt(
+                        sup_loss, expert_p, (sr, sg), k_in, inner_lr, iterations,
+                        first_order=True,
+                    )
             else:
                 fast = expert_p
-            return sup_loss(fast, (qr, qg), k_q)
+            return episode_loss(
+                fast, bg, aabb, occ_state, qr, qg, k_q, samples=smp_q
+            )
 
         def per_expert(expert_p, aabb, occ_state, sr, sg, qr, qg, ks):
             return jax.lax.map(

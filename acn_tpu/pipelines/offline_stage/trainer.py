@@ -26,7 +26,7 @@ from acn_tpu.pipelines.offline_stage.train_step import (
     make_eval_step,
     make_meta_train_step,
 )
-from acn_tpu.utils.checkpoint import save_checkpoint
+from acn_tpu.utils.checkpoint import AsyncCheckpointer, save_checkpoint
 from acn_tpu.utils.logging import Logger, MetricLogger, PhaseTimer
 
 
@@ -142,6 +142,7 @@ def meta_trainer(
 
     metric_log = MetricLogger()
     timer = PhaseTimer()
+    ckpt = AsyncCheckpointer()  # saves run off the training path
     key = jax.random.PRNGKey(P.seed)
 
     step = start_step
@@ -223,20 +224,21 @@ def meta_trainer(
                 # occ grids are regenerable (premark + warmup) and dominate
                 # checkpoint size — only the final 'last' save keeps them
                 # (the reference intended the same stripping, utils.py:283-289)
-                save_checkpoint(
+                ckpt.save(
                     logger.logdir, "best", state["variables"],
                     opt_state=state["opt_state"], occ_states=None,
                     P=P, step=step, best=best, is_best=True,
                 )
-                logger.log(f"[ckpt] new best ({best:.3f}) saved")
+                logger.log(f"[ckpt] new best ({best:.3f}) save queued")
 
         if step % P.save_step == 0:
-            save_checkpoint(
+            ckpt.save(
                 logger.logdir, f"step{step}", state["variables"],
                 opt_state=state["opt_state"], occ_states=None,
                 P=P, step=step, best=best,
             )
 
+    ckpt.wait()  # drain queued async saves before the final blocking one
     save_checkpoint(
         logger.logdir, "last", state["variables"],
         opt_state=state["opt_state"], occ_states=occ_states if use_occ else None,

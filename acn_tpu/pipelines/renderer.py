@@ -88,11 +88,7 @@ class Renderer:
                     bg_rgb=bg,
                 )
             else:
-                step_size = occ_cfg.step_size_for_traced(
-                    variables["buffers"]["global_aabb"]
-                )
                 common = dict(
-                    step_size=step_size,
                     s_max=int(P.occ_s_max),
                     s_kept=int(P.occ_s_kept),
                     alpha_thre=occ_cfg.alpha_thre,
@@ -149,6 +145,11 @@ class Renderer:
         acc_out = np.zeros((N,), np.float32)
         wmax_out = np.zeros((N,), np.float32)
         went_out = np.zeros((N,), np.float32)
+
+        # dispatch ALL chunks first (JAX queues them asynchronously — through
+        # the remote-TPU tunnel a per-chunk sync would cost a round trip each,
+        # VERDICT round 1 measured minutes per frame), then block once
+        pending = []
         for s in range(0, N, C):
             e = min(s + C, N)
             chunk = rays[s:e]
@@ -157,9 +158,8 @@ class Renderer:
                 pad[:, 7] = -1.0  # far < near ⇒ inert rays
                 chunk = np.concatenate([np.asarray(chunk), pad])
             key, k = jax.random.split(key)
-            rgb, depth, acc, wmax, went = fn(
-                variables, occ_states, jnp.asarray(chunk), k
-            )
+            pending.append((s, e, fn(variables, occ_states, jnp.asarray(chunk), k)))
+        for s, e, (rgb, depth, acc, wmax, went) in pending:
             rgb_out[s:e] = np.asarray(rgb)[: e - s]
             depth_out[s:e] = np.asarray(depth)[: e - s]
             acc_out[s:e] = np.asarray(acc)[: e - s]

@@ -116,13 +116,13 @@ def build_occ_config(P, pose_scale_factor: float) -> Optional[OccConfig]:
         return None
     return OccConfig(
         resolution=128,
-        levels=4,
+        levels=int(getattr(P, "occ_levels", 1)),
         render_step_size=None,
         occ_thre=1e-2,
         alpha_thre=1e-2,
         alpha_thre_start=0.0,
         cosine_anneal=True,
-        warmup_steps=256,
+        warmup_steps=int(getattr(P, "occ_warmup", 256)),
         update_interval=16,
         ema_decay=0.95,
         cone_angle=0.004,

@@ -130,10 +130,19 @@ def build_parser() -> argparse.ArgumentParser:
     )
     # occupancy marching (static-shape TPU layout; no reference analogue —
     # nerfacc sizes are dynamic)
-    parser.add_argument("--occ_s_max", type=int, default=512,
-                        help="candidate samples per ray for occupancy marching")
-    parser.add_argument("--occ_s_kept", type=int, default=128,
-                        help="retained samples per ray after compaction")
+    parser.add_argument("--occ_s_max", type=int, default=256,
+                        help="uniform candidate bins per ray spanning [near, far] "
+                             "for occupancy marching")
+    parser.add_argument("--occ_s_kept", type=int, default=64,
+                        help="retained samples per ray after even-stride "
+                             "compaction (model evals/ray in the occ regime; "
+                             "keep < ray_samples or occ can't beat stratified)")
+    parser.add_argument("--occ_warmup", type=int, default=256,
+                        help="steps of stratified warmup before the occupancy "
+                             "renderer takes over (reference meta_ngp.py:131)")
+    parser.add_argument("--occ_levels", type=int, default=1,
+                        help="occupancy grid mip levels; 1 suffices when rays "
+                             "are clamped to expert AABBs")
 
     # --- FIM
     parser.add_argument("--fim", action="store_true")
@@ -305,11 +314,37 @@ def parse_args(argv=None) -> argparse.Namespace:
         _enforce_arch_from_ckpt(args, ckpt_cfg)
 
     if args.fname is None:
-        from datetime import datetime
-
-        args.fname = f"{args.op}_{datetime.now().strftime('%Y%m%d_%H%M%S')}"
+        args.fname = default_experiment_fname(args)
 
     return args
+
+
+def default_experiment_fname(P) -> str:
+    """Hierarchical hyperparameter-encoding experiment path (reference
+    pipelines/offline_stage/__init__.py:6-34): runs land under a directory
+    tree keyed by data / modularization / algo / model / bg / training /
+    optimizer, so sweeps self-organize. Train-op only; other ops get a
+    timestamped name."""
+    if P.op != "train":
+        from datetime import datetime
+
+        return f"{P.op}_{datetime.now().strftime('%Y%m%d_%H%M%S')}"
+    data = f"{getattr(P, 'data_type', 'ray')}/{P.dataset}/"
+    modularization = f"cells-{P.num_submodules:02}/" + (
+        "fim/" if getattr(P, "fim", False) else "mod/"
+    )
+    algo_str = f"algo-{P.algo}/"
+    model = (
+        f"{P.nerf_variant}_dir-{P.dir_encoding}_depth-{P.num_layers}"
+        f"_hid-{P.dim_hidden}_ch-{P.color_hidden}/"
+    )
+    bg = "no_bg/" if P.no_bg_nerf else f"bg_{P.bg_hidden}/"
+    training = f"initer-{P.inner_iter:02}_samples-{P.ray_samples}/"
+    optimizer = f"lr-{int(P.inner_lr * 1e3):03d}-{int(P.lr * 1e6):04d}"
+    return (
+        data + modularization + algo_str + model + bg + training + optimizer
+        + f"_seed-{P.seed}"
+    )
 
 
 def namespace_to_jsonable(args: argparse.Namespace) -> dict:

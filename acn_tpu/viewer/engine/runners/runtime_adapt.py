@@ -68,7 +68,13 @@ class RuntimeAdaptRunner(BaseRunner):
             labels = cont.param_group_labels(self.variables, self.cfg)
             self._opt = build_optimizer(self.P, labels, grad_clip=1.0)
             self._opt_state = self._opt.init(self.variables["params"])
-            self._tto = make_tto_step(self.cfg, self.P, self._opt)
+            occ_cfg = self.ctx.get("occ_cfg")
+            self._use_occ = (
+                occ_cfg is not None and self.ctx.get("occ_states") is not None
+            )
+            self._tto = make_tto_step(
+                self.cfg, self.P, self._opt, occ_cfg, self._use_occ
+            )
 
     def _on_hparams_changed(self):
         # rebuild the optimizer with the new lrs on the next step
@@ -83,9 +89,13 @@ class RuntimeAdaptRunner(BaseRunner):
 
         rays, rgbs, _ = self.support.sample(self.rng, self.support_rays)
         self._key, k = jax.random.split(self._key)
+        occ_states = (
+            self.ctx["occ_states"] if self._use_occ else jnp.zeros(())
+        )
         params, self._opt_state, loss = self._tto(
             self.variables["params"], self._opt_state,
-            self.variables["buffers"], jnp.asarray(rays), jnp.asarray(rgbs), k,
+            self.variables["buffers"], occ_states,
+            jnp.asarray(rays), jnp.asarray(rgbs), k,
         )
         # atomic snapshot swap — the render thread picks this up next frame
         self.variables = {"params": params, "buffers": self.variables["buffers"]}

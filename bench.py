@@ -3,13 +3,21 @@
 
 Runs the full jitted FoMAML meta-train step — the reference's hot loop
 (meta_train_step.py:18-253) — at the reference's default scale: 4 experts ×
-3 tasks × (8 inner iterations × 4000 support rays + 2000 query rays), 96
-samples/ray, Instant-NGP experts with a 2^19 hash table, and reports
+3 tasks × (8 inner iterations × 4000 support rays + 2000 query rays),
+Instant-NGP experts with cell-packed hash tables, and reports
 ray-renders/second (one ray-render = one ray fully sampled + composited,
 inner and query passes both counted, forward+backward included).
 
+Two regimes are measured:
+
+* **occ** (primary, the steady state of any real run): occupancy-guided
+  marching with a representative sparse grid (~10% occupancy), 256 candidate
+  bins → 64 kept samples/ray (the defaults);
+* **stratified** (the warmup regime): 96 uniform samples/ray.
+
 Prints exactly one JSON line:
-    {"metric": ..., "value": N, "unit": "rays/s", "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": "rays/s", "vs_baseline": N,
+     "stratified_rays_per_sec": N}
 
 The reference publishes no numbers (BASELINE.md); vs_baseline divides by a
 provisional estimate of the reference A100 pipeline's throughput
@@ -25,6 +33,24 @@ import numpy as np
 REFERENCE_RAYS_PER_SEC_ESTIMATE = 300_000.0
 
 
+def _bench_step(step_fn, state, batch, occ, iters=5):
+    import jax
+
+    key = jax.random.PRNGKey(0)
+    # warmup / compile (float() forces materialization — on the remote-TPU
+    # tunnel platform block_until_ready alone does not synchronize)
+    key, k = jax.random.split(key)
+    state, metrics = step_fn(state, batch, occ, k)
+    _ = float(metrics["loss_total"])
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        key, k = jax.random.split(key)
+        state, metrics = step_fn(state, batch, occ, k)
+    _ = float(metrics["loss_total"])
+    return (time.perf_counter() - t0) / iters
+
+
 def main():
     import types
 
@@ -33,6 +59,7 @@ def main():
 
     from __graft_entry__ import _toy_problem
     from acn_tpu.models import container as cont
+    from acn_tpu.occupancy.grid import OccConfig, init_occ_state
     from acn_tpu.pipelines.offline_stage.train_step import make_meta_train_step
     from acn_tpu.pipelines.offline_stage.trainer import dummy_occ_states
     from acn_tpu.utils.optim import build_optimizer
@@ -50,18 +77,18 @@ def main():
         color_space="linear", bg_color_default="white", optimizer="adam",
         encoding_lr=1e-2, sigma_lr=2e-3, color_lr=2e-3, bg_lr=1e-3, lr=1e-4,
         outer_steps=10_000, decay_factor=10.0, no_scheduler=False, grad_clip=1.0,
-        occ_s_max=512, occ_s_kept=128, use_amp=True, train_chunk_rays=0,
+        occ_s_max=256, occ_s_kept=64, use_amp=True, train_chunk_rays=0,
+        fim=False,
     )
     labels = cont.param_group_labels(variables, cfg)
     opt = build_optimizer(P, labels, grad_clip=P.grad_clip)
-    step_fn = jax.jit(make_meta_train_step(cfg, P, opt), donate_argnums=(0,))
 
-    state = {
-        "variables": variables,
-        "opt_state": opt.init(variables["params"]),
-        "step": jnp.zeros((), jnp.int32),
-    }
-    occ = dummy_occ_states(K)
+    def fresh_state():
+        return {
+            "variables": variables,
+            "opt_state": opt.init(variables["params"]),
+            "step": jnp.zeros((), jnp.int32),
+        }
 
     rng = np.random.default_rng(0)
     o = np.concatenate(
@@ -88,33 +115,44 @@ def main():
         "query_rays": jnp.asarray(rays[:, :, S:]),
         "query_rgbs": jnp.asarray(rgbs[:, :, S:]),
     }
-
-    key = jax.random.PRNGKey(0)
-
-    # warmup / compile (float() forces materialization — on the remote-TPU
-    # tunnel platform block_until_ready alone does not synchronize)
-    key, k = jax.random.split(key)
-    state, metrics = step_fn(state, batch, occ, k)
-    _ = float(metrics["loss_total"])
-
-    iters = 5
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        key, k = jax.random.split(key)
-        state, metrics = step_fn(state, batch, occ, k)
-    _ = float(metrics["loss_total"])
-    dt = (time.perf_counter() - t0) / iters
-
     rays_per_step = K * T * (INNER * S + Q)  # ray-renders per meta-step
-    rays_per_sec = rays_per_step / dt
+
+    # ---- stratified regime (warmup phase of a real run) ----
+    step_strat = jax.jit(make_meta_train_step(cfg, P, opt), donate_argnums=(0,))
+    dt_strat = _bench_step(step_strat, fresh_state(), batch, dummy_occ_states(K))
+    strat_rps = rays_per_step / dt_strat
+
+    # ---- occupancy regime (steady state): ~10% occupied grid ----
+    occ_cfg = OccConfig(resolution=128, levels=1, near_plane=1e-3, far_plane=1e3)
+    aabb = jnp.asarray([[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]], jnp.float32)
+
+    def occ_state_k(seed):
+        st = init_occ_state(aabb, occ_cfg)
+        bins = (
+            jax.random.uniform(jax.random.PRNGKey(seed), st["binaries"].shape)
+            < 0.10
+        )
+        return {**st, "binaries": bins}
+
+    occ_states = jax.tree.map(
+        lambda *xs: jnp.stack(xs), *[occ_state_k(i) for i in range(K)]
+    )
+    step_occ = jax.jit(
+        make_meta_train_step(cfg, P, opt, occ_cfg), donate_argnums=(0,)
+    )
+    dt_occ = _bench_step(step_occ, fresh_state(), batch, occ_states)
+    occ_rps = rays_per_step / dt_occ
 
     print(
         json.dumps(
             {
-                "metric": "meta_train_ray_renders_per_sec",
-                "value": round(rays_per_sec, 1),
+                "metric": "meta_train_ray_renders_per_sec_occ",
+                "value": round(occ_rps, 1),
                 "unit": "rays/s",
-                "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC_ESTIMATE, 3),
+                "vs_baseline": round(occ_rps / REFERENCE_RAYS_PER_SEC_ESTIMATE, 3),
+                "stratified_rays_per_sec": round(strat_rps, 1),
+                "occ_step_s": round(dt_occ, 3),
+                "stratified_step_s": round(dt_strat, 3),
             }
         )
     )

@@ -106,6 +106,44 @@ def test_compact_samples():
     assert not bool(mask[1].any())
 
 
+def test_compact_samples_strided_keep_all():
+    """n_valid <= s_kept ⇒ identical to first-k compaction, scale 1."""
+    valid = jnp.array([[False, True, False, True, True], [False] * 5])
+    idx, mask, scale = og.compact_samples_strided(valid, 3)
+    np.testing.assert_array_equal(idx[0], [1, 3, 4])
+    np.testing.assert_array_equal(mask[0], [True, True, True])
+    assert not bool(mask[1].any())
+    np.testing.assert_allclose(scale, [1.0, 1.0])
+
+
+def test_compact_samples_strided_subsamples_evenly():
+    """n_valid > s_kept ⇒ every stride-th valid sample across the FULL valid
+    extent (no truncation to the near end), dt scale = stride."""
+    valid = jnp.ones((1, 12), bool)
+    idx, mask, scale = og.compact_samples_strided(valid, 4)
+    np.testing.assert_array_equal(idx[0], [0, 3, 6, 9])  # stride ceil(12/4)=3
+    assert bool(mask[0].all())
+    np.testing.assert_allclose(scale, [3.0])
+
+    # sparse validity: ranks map through the valid subsequence
+    valid = jnp.array([[True, False, True, True, False, True, True, True]])
+    idx, mask, scale = og.compact_samples_strided(valid, 3)  # n_valid=6, stride 2
+    np.testing.assert_array_equal(idx[0], [0, 3, 6])
+    np.testing.assert_array_equal(mask[0], [True, True, True])
+    np.testing.assert_allclose(scale, [2.0])
+
+
+def test_compact_samples_strided_random_phase_covers_extent():
+    valid = jnp.ones((4, 100), bool)
+    idx, mask, scale = og.compact_samples_strided(
+        valid, 10, key=jax.random.PRNGKey(0)
+    )
+    assert np.asarray(mask).sum(axis=1).min() >= 9  # phase can drop ≤1 slot
+    np.testing.assert_allclose(scale, 10.0)
+    # kept indices span the whole extent, not just the first 10
+    assert np.asarray(idx).max() > 80
+
+
 def test_march_rays_end_to_end_sphere():
     cfg = OccConfig(resolution=32, levels=1, cone_angle=0.0, near_plane=0.0)
     state = og.init_occ_state(AABB, cfg)
@@ -114,7 +152,7 @@ def test_march_rays_end_to_end_sphere():
     state = og.update_occ_grid(state, jax.random.PRNGKey(0), density_fn, cfg, ss)
 
     rays = jnp.array([[-2, 0, 0, 1, 0, 0, 0.0, 4.0]], dtype=jnp.float32)
-    out = og.march_rays(state, rays, cfg, ss, s_max=1024, s_kept=128)
+    out = og.march_rays(state, rays, cfg, s_max=1024, s_kept=128)
     mask = np.asarray(out["mask"])[0]
     assert mask.any()
     # all kept samples lie near the occupied ball (within a cell diagonal)
@@ -124,3 +162,25 @@ def test_march_rays_end_to_end_sphere():
     # t sorted
     t0 = np.asarray(out["t_starts"])[0][mask]
     assert np.all(np.diff(t0) >= 0)
+
+
+def test_march_rays_full_coverage_when_diffuse():
+    """A fully-occupied (diffuse) grid must NOT truncate ray coverage: kept
+    samples span the whole [near, far], with dt scaled by the stride so the
+    total covered length is preserved (this was round 1's PSNR cliff)."""
+    cfg = OccConfig(resolution=16, levels=1, cone_angle=0.0, near_plane=0.0)
+    state = og.init_occ_state(AABB, cfg)
+    dense = lambda x: jnp.full(x.shape[:-1], 100.0)
+    state = og.update_occ_grid(
+        state, jax.random.PRNGKey(0), dense, cfg, cfg.step_size_for(AABB)
+    )
+    rays = jnp.array([[-1, 0, 0, 1, 0, 0, 0.0, 2.0]], dtype=jnp.float32)
+    out = og.march_rays(state, rays, cfg, s_max=256, s_kept=32)
+    mask = np.asarray(out["mask"])[0]
+    assert mask.all()
+    t0 = np.asarray(out["t_starts"])[0]
+    # coverage reaches the far end of the ray (not the first 32 bins)
+    assert t0[-1] > 1.7
+    # scaled dts integrate to ~the full ray extent
+    dts = np.asarray(out["dts"])[0]
+    np.testing.assert_allclose(dts.sum(), 2.0, rtol=0.05)

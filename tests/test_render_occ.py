@@ -62,10 +62,9 @@ def test_expert_occ_close_to_stratified():
     rays = rays_through(16)
     occ0 = jax.tree.map(lambda a: a[0], occ_states)
 
-    step = 2.0 / 256  # fine uniform steps across the 2-unit segment
     rgb_o, depth_o, _, acc_o = render_expert_occ(
         variables, occ0, cfg, occ_cfg, rays,
-        active_module=0, step_size=step, s_max=512, s_kept=300,
+        active_module=0, s_max=512, s_kept=512,
     )
 
     model_fn = lambda xd: cont.container_forward(variables, cfg, xd, active_module=0)
@@ -79,8 +78,7 @@ def test_container_occ_matches_expert_when_single():
     """K=1 soft-MoE occ rendering == single-expert occ rendering."""
     cfg, variables, occ_cfg, occ_states = setup_scene(K=1)
     rays = rays_through(8)
-    step = 2.0 / 128
-    kwargs = dict(step_size=step, s_max=256, s_kept=160)
+    kwargs = dict(s_max=256, s_kept=160)
     rgb_c, _, _, acc_c = render_rays_occ(
         variables, occ_states, cfg, occ_cfg, rays, **kwargs
     )
@@ -97,7 +95,7 @@ def test_container_occ_soft_blend_two_experts():
     rays = rays_through(16)
     rgb, depth, w, acc = render_rays_occ(
         variables, occ_states, cfg, occ_cfg, rays,
-        step_size=2.0 / 128, s_max=256, s_kept=160,
+        s_max=256, s_kept=160,
     )
     assert np.isfinite(np.asarray(rgb)).all()
     assert np.all(np.asarray(acc) >= 0) and np.all(np.asarray(acc) <= 1 + 1e-5)
@@ -112,7 +110,27 @@ def test_empty_occupancy_renders_background():
     bg = jnp.full((8, 3), 0.7)
     rgb, depth, _, acc = render_rays_occ(
         variables, empty, cfg, occ_cfg, rays,
-        step_size=2.0 / 64, s_max=128, s_kept=32, bg_rgb=bg,
+        s_max=128, s_kept=32, bg_rgb=bg,
     )
     np.testing.assert_allclose(np.asarray(acc), 0.0, atol=1e-6)
     np.testing.assert_allclose(np.asarray(rgb), 0.7, atol=1e-6)
+
+
+def test_occ_subsampled_matches_stratified():
+    """Round-1 regression: with a diffuse (fully occupied) grid and s_kept far
+    below the number of valid bins, even-stride compaction + dt scaling must
+    still reproduce the stratified integral over the WHOLE ray — the old
+    first-k compaction truncated coverage to the near end and tanked PSNR."""
+    cfg, variables, occ_cfg, occ_states = setup_scene(K=1)
+    rays = rays_through(16)
+    occ0 = jax.tree.map(lambda a: a[0], occ_states)
+
+    rgb_o, depth_o, _, acc_o = render_expert_occ(
+        variables, occ0, cfg, occ_cfg, rays,
+        active_module=0, s_max=512, s_kept=64,  # stride = 8
+    )
+    model_fn = lambda xd: cont.container_forward(variables, cfg, xd, active_module=0)
+    rgb_s, depth_s, _, acc_s = render_rays_stratified(model_fn, rays, 256)
+
+    np.testing.assert_allclose(np.asarray(acc_o), np.asarray(acc_s), atol=0.08)
+    np.testing.assert_allclose(np.asarray(rgb_o), np.asarray(rgb_s), atol=0.08)
