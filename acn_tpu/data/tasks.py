@@ -10,11 +10,19 @@ TPU-first redesign of the routing: instead of the reference's sequential 3D
 DDA traversal per ray (task_dataset.py:299-351), we slab-test every ray
 against every micro-cell AABB and take the argmax segment overlap — with
 ≤ a few dozen cells this is one vectorized numpy pass and computes the same
-"max-overlap" dominant cell exactly. Support/query rays are disjoint by
-construction (one permutation, split). The reference's per-image-count
-constraints (min/max images per episode, per-image ray caps,
-task_dataset.py:420-542) are not replicated; cells are small enough that
-episodes are image-coherent in practice.
+"max-overlap" dominant cell exactly.
+
+Episode constraints (reference task_dataset.py:420-542, 682-898) are
+replicated: each split draws from a bounded random subset of images
+(support ∈ [min,max]=[2,8], query ∈ [1,4] — task_dataset.py:46-49), a
+per-image cap bounds any one image's share of a split (image_cap=0.4,
+nerf_runner.py:204), query images avoid support images when enough exist
+(borrowing only to satisfy minimums), and support/query rays stay disjoint.
+The host ``TaskSampler`` implements this faithfully in numpy; the
+device-resident path reproduces it with static shapes: per-(cell, image)
+contiguous segments of a pre-shuffled pool, a random image permutation per
+episode, cumsum-greedy capped allocation, and non-overlapping windows for
+borrowed images.
 
 All emitted batches are fixed-shape: (T, S, 8)/(T, S, 3) arrays ready to feed
 jitted vmapped train steps; short cells pad by resampling (with replacement)
@@ -30,6 +38,19 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from acn_tpu.data.ram_rays import RamRaysDataset
+
+
+@dataclass(frozen=True)
+class EpisodeConstraints:
+    """Reference episode-shaping knobs (task_dataset.py:46-49 defaults +
+    nerf_runner.py:204 image_cap)."""
+
+    min_images_support: int = 2
+    max_images_support: int = 8
+    min_images_query: int = 1
+    max_images_query: int = 4
+    image_cap: float = 0.4  # max fraction of one split from a single image
+    image_disjoint: bool = True
 
 
 def make_micro_cells(region_aabb: np.ndarray, cell_dim: int) -> np.ndarray:
@@ -112,7 +133,8 @@ class Task:
 
 
 class TaskSampler:
-    """Infinite episodic sampler over one expert's ray store."""
+    """Infinite episodic sampler over one expert's ray store, enforcing the
+    reference's episode constraints (task_dataset.py:682-898)."""
 
     def __init__(
         self,
@@ -123,22 +145,30 @@ class TaskSampler:
         query_rays: int,
         seed: int = 0,
         min_pool: Optional[int] = None,
+        constraints: EpisodeConstraints = EpisodeConstraints(),
     ):
         self.ds = dataset
         self.support_rays = int(support_rays)
         self.query_rays = int(query_rays)
         self.rng = np.random.default_rng(seed)
+        self.constraints = constraints
 
         self.cells = make_micro_cells(region_aabb, cell_dim)
         cell_ids = route_rays_to_cells(dataset.rays, self.cells)
 
         # per-cell index pools; eligible cells have enough rays for an episode
-        min_pool = min_pool if min_pool is not None else (support_rays + query_rays)
+        # (reference min_rays_cell = 0.5·(S+Q), nerf_runner.py:205)
+        min_pool = (
+            min_pool if min_pool is not None
+            else (support_rays + query_rays) // 2
+        )
         self.pools: List[np.ndarray] = []
+        self.pool_imgs: List[np.ndarray] = []  # image id per pooled ray
         self.eligible: List[int] = []
         for c in range(len(self.cells)):
             idx = np.nonzero(cell_ids == c)[0]
             self.pools.append(idx)
+            self.pool_imgs.append(dataset.img_indices[idx])
             if len(idx) >= min_pool:
                 self.eligible.append(c)
         if not self.eligible:
@@ -147,16 +177,94 @@ class TaskSampler:
         if not self.eligible:
             raise ValueError("TaskSampler: no rays routed to any micro-cell")
 
+    def _choose_images(self, imgs_avail, min_imgs, max_imgs, forbid=None):
+        """Random image subset honoring min/max, avoiding ``forbid`` and
+        borrowing from it only to reach the minimum
+        (reference _choose_images_for_split, task_dataset.py:420-483)."""
+        pool = imgs_avail
+        if forbid is not None and len(forbid):
+            pool = imgs_avail[~np.isin(imgs_avail, forbid)]
+        k_max = min(max_imgs, len(imgs_avail)) if max_imgs else len(imgs_avail)
+        k_min = max(0, min(min_imgs, k_max))
+        if len(pool) >= k_min:
+            k = min(k_max, len(pool))
+            return self.rng.permutation(pool)[:k]
+        chosen = pool
+        if forbid is not None and len(forbid) and len(chosen) < k_min:
+            borrow = imgs_avail[np.isin(imgs_avail, forbid)]
+            need = min(k_min, k_max) - len(chosen)
+            if need > 0 and len(borrow):
+                chosen = np.concatenate(
+                    [chosen, self.rng.permutation(borrow)[:need]]
+                )
+        if len(chosen) > k_max:
+            chosen = self.rng.permutation(chosen)[:k_max]
+        return chosen
+
+    def _sample_split(self, c, target, images, forbid_idx=None):
+        """Capped random rays from cell ``c`` restricted to ``images``
+        (reference _sample_split_from_images, task_dataset.py:485-542)."""
+        pool, pimg = self.pools[c], self.pool_imgs[c]
+        mask = np.isin(pimg, images)
+        if forbid_idx is not None and len(forbid_idx):
+            mask &= ~np.isin(pool, forbid_idx)
+        cand = pool[mask]
+        cand_img = pimg[mask]
+        if len(cand) == 0:
+            return pool[:0]
+        need = min(int(target), len(cand))
+        order = self.rng.permutation(len(cand))
+        cap = max(1, int(np.ceil(self.constraints.image_cap * need)))
+        # greedy cap fill, vectorized: stable-sort candidates by image, rank
+        # within image, keep rank < cap, then take the first `need` in the
+        # original random order
+        img_o = cand_img[order]
+        sort_by_img = np.argsort(img_o, kind="stable")
+        ranks = np.empty(len(cand), np.int64)
+        _, starts = np.unique(img_o[sort_by_img], return_index=True)
+        grp = np.zeros(len(cand), np.int64)
+        grp[starts] = 1
+        grp = np.cumsum(grp) - 1
+        ranks[sort_by_img] = np.arange(len(cand)) - starts[grp]
+        keep = ranks < cap
+        return cand[order[keep][:need]]
+
     def sample_task(self) -> Task:
+        cst = self.constraints
         c = int(self.rng.choice(self.eligible))
-        pool = self.pools[c]
-        n_need = self.support_rays + self.query_rays
-        if len(pool) >= n_need:
-            pick = self.rng.choice(pool, size=n_need, replace=False)
-        else:
-            pick = self.rng.choice(pool, size=n_need, replace=True)
-        s_idx = pick[: self.support_rays]
-        q_idx = pick[self.support_rays :]
+        pool, pimg = self.pools[c], self.pool_imgs[c]
+        imgs_avail = np.unique(pimg)
+
+        supp_imgs = self._choose_images(
+            imgs_avail, cst.min_images_support, cst.max_images_support
+        )
+        s_idx = self._sample_split(c, self.support_rays, supp_imgs)
+        query_imgs = self._choose_images(
+            imgs_avail, cst.min_images_query, cst.max_images_query,
+            forbid=supp_imgs if cst.image_disjoint else None,
+        )
+        q_idx = self._sample_split(
+            c, self.query_rays, query_imgs, forbid_idx=s_idx
+        )
+        if len(q_idx) < self.query_rays and cst.image_disjoint:
+            # borrow from all images, ray-disjoint (task_dataset.py:871-881)
+            borrow = self._sample_split(
+                c, self.query_rays - len(q_idx), imgs_avail,
+                forbid_idx=np.concatenate([s_idx, q_idx]),
+            )
+            q_idx = np.concatenate([q_idx, borrow])
+
+        # fixed output shapes: wrap-pad underfilled splits (with replacement)
+        def pad_to(idx, n):
+            if len(idx) >= n:
+                return idx[:n]
+            if len(idx) == 0:
+                return self.rng.choice(pool, size=n, replace=True)
+            reps = -(-n // len(idx))
+            return np.tile(idx, reps)[:n]
+
+        s_idx = pad_to(s_idx, self.support_rays)
+        q_idx = pad_to(q_idx, self.query_rays)
         return Task(
             support_rays=self.ds.rays[s_idx],
             support_rgbs=self.ds.rgbs[s_idx],
@@ -180,37 +288,43 @@ class TaskSampler:
 def build_device_pools(
     samplers: List["TaskSampler"],
     max_pool: int = 262_144,
+    max_images: int = 32,
     seed: int = 0,
 ) -> Dict[str, np.ndarray]:
     """Package per-expert ray stores + per-cell pools as fixed-shape arrays
     for **device-resident episodic sampling** (SURVEY §7: "episodic sampling
     becomes jittable index sampling over precomputed per-cell pools").
 
-    Episodes then sample *inside* the jitted train step: pick an eligible
-    micro-cell, pick a random offset into its pre-shuffled index pool, take a
-    contiguous (S+Q)-window — without-replacement within the episode, exactly
-    the reference's cached-shuffled-flat-pool scheme (task_dataset.py:630-678)
-    — and gather the rays. Removes all host-side sampling and per-step
-    host→device transfers (this host has one CPU; the reference assumes a
-    beefy loader machine with 8 workers × K loaders).
+    Each cell's pool is **segmented by image**: within-image ray order is
+    pre-shuffled, images are sorted by ray count (desc) and the top
+    ``max_images`` kept (dropping only the thinnest tail slivers). The jitted
+    sampler then reproduces the reference's episode constraints with static
+    shapes (see make_device_batch_fn): random image subsets per split, capped
+    per-image shares, S/Q image disjointness with borrowing. Removes all
+    host-side sampling and per-step host→device transfers (this host has one
+    CPU; the reference assumes a beefy loader machine, 8 workers × K loaders).
 
     Returns numpy arrays (stacked over K experts, padded):
       rays (K, N, 8) f32 · rgbs (K, N, 3) f32 ·
-      pool_idx (K, C, P) i32 (shuffled, wrapped to fill) ·
-      pool_size (K, C) i32 · eligible (K, C) bool
+      pool_idx (K, C, P) i32 (image-segmented, within-image shuffled) ·
+      img_start (K, C, I) i32 · img_len (K, C, I) i32 · img_count (K, C) i32 ·
+      eligible (K, C) bool
     """
     K = len(samplers)
     C = max(len(s.pools) for s in samplers)
     N = max(len(s.ds.rays) for s in samplers)
     P = min(max_pool, max(max((len(p) for p in s.pools), default=1)
                           for s in samplers))
+    I = max_images
     rng = np.random.default_rng(seed)
 
     rays = np.zeros((K, N, 8), np.float32)
     rays[:, :, 7] = -1.0  # padded rays are inert (far < near)
     rgbs = np.zeros((K, N, 3), np.float32)
     pool_idx = np.zeros((K, C, P), np.int32)
-    pool_size = np.zeros((K, C), np.int32)
+    img_start = np.zeros((K, C, I), np.int32)
+    img_len = np.zeros((K, C, I), np.int32)
+    img_count = np.zeros((K, C), np.int32)
     eligible = np.zeros((K, C), bool)
 
     for k, s in enumerate(samplers):
@@ -220,18 +334,29 @@ def build_device_pools(
         for c, pool in enumerate(s.pools):
             if len(pool) == 0:
                 continue
-            p = rng.permutation(pool).astype(np.int32)
-            if len(p) > P:
-                p = p[:P]
-            reps = -(-P // len(p))
-            pool_idx[k, c] = np.tile(p, reps)[:P]
-            pool_size[k, c] = min(len(p), P)
-            eligible[k, c] = c in s.eligible
+            pimg = s.pool_imgs[c]
+            imgs, counts = np.unique(pimg, return_counts=True)
+            order = np.argsort(-counts, kind="stable")[:I]
+            pos = 0
+            for slot, oi in enumerate(order):
+                seg = pool[pimg == imgs[oi]]
+                seg = rng.permutation(seg).astype(np.int32)
+                seg = seg[: P - pos]
+                if len(seg) == 0:
+                    break
+                pool_idx[k, c, pos : pos + len(seg)] = seg
+                img_start[k, c, slot] = pos
+                img_len[k, c, slot] = len(seg)
+                img_count[k, c] += 1
+                pos += len(seg)
+            eligible[k, c] = c in s.eligible and img_count[k, c] > 0
     return {
         "rays": rays,
         "rgbs": rgbs,
         "pool_idx": pool_idx,
-        "pool_size": pool_size,
+        "img_start": img_start,
+        "img_len": img_len,
+        "img_count": img_count,
         "eligible": eligible,
     }
 

@@ -12,11 +12,56 @@ jitted function — XLA's SPMD partitioner inserts the only needed collective
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Optional
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def maybe_init_distributed(P_args=None) -> bool:
+    """Multi-host initialization (SURVEY §5: ``jax.distributed.initialize``).
+
+    Call once at process start on every host of a pod/slice. Reads the
+    standard coordination env vars (``COORDINATOR_ADDRESS``/
+    ``JAX_COORDINATOR_ADDRESS``, ``PROCESS_ID``/``JAX_PROCESS_ID``,
+    ``NUM_PROCESSES``/``JAX_NUM_PROCESSES``) or the corresponding P flags;
+    on TPU pods with no explicit config, ``jax.distributed.initialize()``
+    auto-discovers from the TPU metadata. Returns True when a multi-process
+    runtime was initialized. Single-host runs are untouched.
+
+    After init, ``jax.devices()`` spans all hosts and ``make_mesh`` lays the
+    (expert, data) mesh over the global device set — expert shards ride ICI
+    within a slice; only checkpoint writes and logging cross DCN.
+    """
+    coord = os.environ.get("COORDINATOR_ADDRESS") or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS"
+    )
+    pid = os.environ.get("PROCESS_ID") or os.environ.get("JAX_PROCESS_ID")
+    nproc = os.environ.get("NUM_PROCESSES") or os.environ.get(
+        "JAX_NUM_PROCESSES"
+    )
+    if P_args is not None:
+        coord = getattr(P_args, "coordinator_address", None) or coord
+        pid = getattr(P_args, "process_id", None) if getattr(
+            P_args, "process_id", None
+        ) is not None else pid
+        nproc = getattr(P_args, "num_processes", None) or nproc
+    if coord is None and nproc is None:
+        return False  # single-process
+    try:
+        kwargs = {}
+        if coord is not None:
+            kwargs = dict(
+                coordinator_address=coord,
+                num_processes=int(nproc),
+                process_id=int(pid),
+            )
+        jax.distributed.initialize(**kwargs)
+        return True
+    except RuntimeError:
+        return jax.process_count() > 1  # already initialized
 
 
 def make_mesh(

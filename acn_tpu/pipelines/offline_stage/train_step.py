@@ -28,6 +28,7 @@ from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from acn_tpu.models import container as cont
@@ -330,39 +331,128 @@ def _fim_cfg_from(P):
     )
 
 
-def make_device_batch_fn(T: int, S: int, Q: int):
+def make_device_batch_fn(T: int, S: int, Q: int, constraints=None):
     """Jittable episodic batch sampling from device-resident pools
     (see acn_tpu.data.tasks.build_device_pools).
 
     (pools, key) → stacked (K, T, ·, ·) batch, same layout as
     MultiTaskSampler.sample_batch — interchangeable with host sampling.
+
+    Static-shape reproduction of the reference's episode constraints
+    (task_dataset.py:420-542, 682-898): per split, a random subset of the
+    cell's images (support ∈ [2,8], query ∈ [1,4]) sampled through a random
+    image permutation; per-image shares bounded by image_cap via a
+    cumsum-greedy fill; query images are the permutation slots AFTER the
+    support slots (image-disjoint until exhausted, then borrowing — borrowed
+    images read a circular window starting where support's stopped, keeping
+    S/Q rays disjoint). Within-image windows index pre-shuffled segments, so
+    every split is without-replacement per image.
     """
+    from acn_tpu.data.tasks import EpisodeConstraints
+
+    cst = constraints or EpisodeConstraints()
+    cap_s = max(1, int(np.ceil(cst.image_cap * S)))
+    cap_q = max(1, int(np.ceil(cst.image_cap * Q)))
 
     def sample_batch(pools, key):
         K = pools["rays"].shape[0]
+        I = pools["img_start"].shape[2]
         keys = jax.random.split(key, K * T).reshape(K, T, -1)
 
-        def one_task(rays_k, rgbs_k, pidx_k, psize_k, elig_k, k):
-            k_cell, k_off = jax.random.split(k)
+        def split_take(lens_perm, n_use, target, cap):
+            """Greedy capped allocation over image slots: slot i (< n_use)
+            takes min(remaining, cap, len_i). Returns (take (I,), bounds)."""
+            desired = jnp.where(
+                jnp.arange(I) < n_use, jnp.minimum(lens_perm, cap), 0
+            )
+            before = jnp.cumsum(desired) - desired
+            take = jnp.clip(target - before, 0, desired)
+            bounds = jnp.cumsum(take)
+            return take, bounds
+
+        def gather_split(j, bounds, take, starts_perm, lens_perm, offs, pidx_c):
+            """Map ray index j ∈ [0, target) to a pooled ray id."""
+            total = jnp.maximum(bounds[-1], 1)
+            jm = j % total
+            slot = jnp.sum(jm[:, None] >= bounds[None, :], axis=1)  # (target,)
+            rank = jm - (bounds[slot] - take[slot])
+            ln = jnp.maximum(lens_perm[slot], 1)
+            pos = starts_perm[slot] + (offs[slot] + rank) % ln
+            return pidx_c[pos]
+
+        def one_task(rays_k, rgbs_k, pidx_k, istart_k, ilen_k, icount_k,
+                     elig_k, k):
+            ks = jax.random.split(k, 6)
             # uniform choice among eligible cells
             logits = jnp.where(elig_k, 0.0, -jnp.inf)
-            c = jax.random.categorical(k_cell, logits)
-            size = jnp.maximum(psize_k[c], 1)
-            off = jax.random.randint(k_off, (), 0, size)
-            win = (off + jnp.arange(S + Q, dtype=jnp.int32)) % size
-            idx = pidx_k[c][win]  # (S+Q,) ray ids
-            r = rays_k[idx]
-            g = rgbs_k[idx]
-            return r[:S], g[:S], r[S:], g[S:]
+            c = jax.random.categorical(ks[0], logits)
+            n_img = jnp.maximum(icount_k[c], 1)
 
-        def per_expert(rays_k, rgbs_k, pidx_k, psize_k, elig_k, ks):
+            # random permutation of the cell's valid image slots
+            slot_ids = jnp.arange(I)
+            rkeys = jax.random.uniform(ks[1], (I,)) + (slot_ids >= n_img) * 1e9
+            order = jnp.argsort(rkeys)  # first n_img = valid slots, shuffled
+            starts_p = istart_k[c][order]
+            lens_p = ilen_k[c][order]
+
+            # support: as many images as allowed (reference
+            # _choose_images_for_split takes k = min(Kmax, available),
+            # task_dataset.py:456-459; the minimum only gates borrowing)
+            n_s = jnp.minimum(cst.max_images_support, n_img)
+            take_s, bounds_s = split_take(lens_p, n_s, S, cap_s)
+            offs_s = jax.random.randint(ks[3], (I,), 0, 1 << 30) % jnp.maximum(
+                lens_p, 1
+            )
+            s_ids = gather_split(
+                jnp.arange(S), bounds_s, take_s, starts_p, lens_p, offs_s,
+                pidx_k[c],
+            )
+
+            # query: the NEXT permutation slots (image-disjoint from support
+            # when enough images remain; otherwise borrow only to reach the
+            # minimum — reference task_dataset.py:436-483)
+            n_disj = jnp.maximum(n_img - n_s, 0)
+            n_q = jnp.where(
+                n_disj >= cst.min_images_query,
+                jnp.minimum(cst.max_images_query, n_disj),
+                jnp.minimum(cst.min_images_query, n_img),
+            )
+            qsrc = (n_s + slot_ids) % n_img  # position in `order` per q-slot
+            borrowed = (n_s + slot_ids) >= n_img
+            starts_q = starts_p[qsrc]
+            lens_raw = lens_p[qsrc]
+            lens_q = jnp.where(
+                borrowed, jnp.maximum(lens_raw - take_s[qsrc], 0), lens_raw
+            )
+            take_q, bounds_q = split_take(lens_q, n_q, Q, cap_q)
+            offs_fresh = jax.random.randint(
+                ks[5], (I,), 0, 1 << 30
+            ) % jnp.maximum(lens_q, 1)
+            # borrowed images continue right after support's circular window
+            offs_q = jnp.where(
+                borrowed, (offs_s[qsrc] + take_s[qsrc]) % jnp.maximum(lens_raw, 1),
+                offs_fresh,
+            )
+            q_ids = gather_split(
+                jnp.arange(Q), bounds_q, take_q, starts_q,
+                jnp.where(borrowed, lens_raw, lens_q), offs_q, pidx_k[c],
+            )
+
+            return rays_k[s_ids], rgbs_k[s_ids], rays_k[q_ids], rgbs_k[q_ids]
+
+        def per_expert(rays_k, rgbs_k, pidx_k, istart_k, ilen_k, icount_k,
+                       elig_k, ks):
             return jax.vmap(
-                lambda kk: one_task(rays_k, rgbs_k, pidx_k, psize_k, elig_k, kk)
+                lambda kk: one_task(
+                    rays_k, rgbs_k, pidx_k, istart_k, ilen_k, icount_k,
+                    elig_k, kk,
+                )
             )(ks)
 
         sr, sg, qr, qg = jax.vmap(per_expert)(
             pools["rays"], pools["rgbs"], pools["pool_idx"],
-            pools["pool_size"], pools["eligible"], keys,
+            pools["img_start"], pools["img_len"], pools["img_count"],
+            pools["eligible"], keys,
         )
         return {
             "support_rays": sr,

@@ -145,6 +145,12 @@ def meta_trainer(
     ckpt = AsyncCheckpointer()  # saves run off the training path
     key = jax.random.PRNGKey(P.seed)
 
+    # jax.profiler trace capture (SURVEY §5): --profile_at N traces steps
+    # [N, N + profile_steps) into <logdir>/profile for tensorboard/xprof
+    profile_at = int(getattr(P, "profile_at", 0) or 0)
+    profile_steps = int(getattr(P, "profile_steps", 3) or 3)
+    profiling = False
+
     step = start_step
     t_loop = time.perf_counter()
     rays_per_step = (
@@ -161,6 +167,10 @@ def meta_trainer(
                 batch = shard_by_expert_axis(batch, mesh, K)
             timer.toc("data")
 
+        if profile_at and step + 1 == profile_at:
+            jax.profiler.start_trace(str(logger.logdir) + "/profile")
+            profiling = True
+
         key, k_step = jax.random.split(key)
         timer.tic("step")
         state, metrics = train_step(state, batch, occ_states, k_step)
@@ -171,6 +181,12 @@ def meta_trainer(
         if will_log:
             metrics = jax.device_get(metrics)
         timer.toc("step")
+
+        if profiling and step >= profile_at + profile_steps:
+            jax.block_until_ready(metrics["loss_total"])
+            jax.profiler.stop_trace()
+            profiling = False
+            logger.log(f"[profiler] trace saved to {logger.logdir}/profile")
 
         # occupancy maintenance (reference meta_train_step.py:176-177)
         if use_occ:

@@ -54,12 +54,18 @@ class Renderer:
 
     # ---------------- jitted chunk kernels ----------------
 
-    def _chunk_fn(self, use_occ: bool, active_module: Optional[int], randomized: bool):
-        key_ = (use_occ, active_module, randomized)
+    def _chunk_fn(self, use_occ: bool, active_module: Optional[int],
+                  randomized: bool, ray_samples: Optional[int] = None):
+        ray_samples = int(ray_samples or self.P.ray_samples)
+        key_ = (use_occ, active_module, randomized, ray_samples)
         if key_ in self._jitted:
             return self._jitted[key_]
 
         cfg, P, occ_cfg = self.cfg, self.P, self.occ_cfg
+        # occ marching scales its kept-samples budget with the requested
+        # sample count (viewer preview = half samples, reference
+        # viewer.py:112-113)
+        occ_kept = min(int(P.occ_s_kept), max(ray_samples, 8))
 
         def render_chunk(variables, occ_states, rays, key):
             n = rays.shape[0]
@@ -82,7 +88,7 @@ class Renderer:
                 rgb, depth, weights, acc = render_rays_stratified(
                     model_fn,
                     rays,
-                    int(P.ray_samples),
+                    ray_samples,
                     key=k_render if randomized else None,
                     randomized=randomized,
                     bg_rgb=bg,
@@ -90,7 +96,7 @@ class Renderer:
             else:
                 common = dict(
                     s_max=int(P.occ_s_max),
-                    s_kept=int(P.occ_s_kept),
+                    s_kept=occ_kept,
                     alpha_thre=occ_cfg.alpha_thre,
                     key=k_render if randomized else None,
                     bg_rgb=bg,
@@ -131,11 +137,12 @@ class Renderer:
         active_module: Optional[int] = None,
         randomized: bool = False,
         with_stats: bool = False,
+        ray_samples: Optional[int] = None,
     ):
         """Chunked ray rendering → (rgb (N,3), depth (N,), acc (N,)) numpy,
         plus (wmax (N,), w_entropy (N,)) when ``with_stats``."""
         use_occ = (self.occ_cfg is not None) if use_occ is None else use_occ
-        fn = self._chunk_fn(use_occ, active_module, randomized)
+        fn = self._chunk_fn(use_occ, active_module, randomized, ray_samples)
         key = key if key is not None else jax.random.PRNGKey(0)
 
         N = rays.shape[0]
@@ -183,6 +190,7 @@ class Renderer:
         active_module: Optional[int] = None,
         use_occ: Optional[bool] = None,
         near_far_override=None,
+        ray_samples: Optional[int] = None,
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Full-frame render (reference render_image, ray_rendering.py:577-627).
         Returns (rgb (H,W,3) linear [0,1], depth (H·W,), acc (H·W,))."""
@@ -203,6 +211,7 @@ class Renderer:
         rgb, depth, acc = self.render_rays(
             variables, occ_states, rays, key=key,
             use_occ=use_occ, active_module=active_module,
+            ray_samples=ray_samples,
         )
         rgb = np.clip(rgb, 0.0, 1.0).reshape(H, W, 3)
         return rgb, depth, acc

@@ -394,6 +394,14 @@ def main(argv=None):
         pass
 
     P = parse_args(argv)
+
+    # multi-host (pod) runs: initialize the distributed runtime before any
+    # backend touch so jax.devices() spans all hosts (SURVEY §5)
+    from acn_tpu.parallel.mesh import maybe_init_distributed
+
+    if maybe_init_distributed(P):
+        P.rank = jax.process_index()
+
     ctx = build_context(P, P.op)
     if P.op == "train":
         op_train(ctx)

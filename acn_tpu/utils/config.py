@@ -30,6 +30,14 @@ def build_parser() -> argparse.ArgumentParser:
     # --- system
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--rank", type=int, default=0)
+    parser.add_argument("--profile_at", type=int, default=0,
+                        help="capture a jax.profiler trace starting at this "
+                             "step (0 = off)")
+    parser.add_argument("--profile_steps", type=int, default=3)
+    # multi-host (pod) coordination; unset ⇒ single-process
+    parser.add_argument("--coordinator_address", type=str, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
+    parser.add_argument("--num_processes", type=int, default=None)
     parser.add_argument("--use_amp", action="store_true",
                         help="bf16 compute for model evaluation (TPU-native AMP)")
 

@@ -99,6 +99,7 @@ def render_frame(
         active_module=state.active_module,
         use_occ=state.use_occ and occ_states is not None,
         near_far_override=near_far,
+        ray_samples=state.preview_samples if preview else state.full_samples,
     )
 
     if state.display == "depth":
@@ -115,6 +116,50 @@ def render_frame(
         if state.gamma != 1.0:
             img = np.power(np.clip(img, 1e-6, 1.0), 1.0 / state.gamma)
     return srgb_u8(img)
+
+
+def _rot_to_wxyz(R: np.ndarray) -> np.ndarray:
+    """Rotation matrix → unit quaternion (w, x, y, z)."""
+    t = np.trace(R)
+    if t > 0:
+        s = np.sqrt(t + 1.0) * 2
+        return np.array([
+            0.25 * s, (R[2, 1] - R[1, 2]) / s,
+            (R[0, 2] - R[2, 0]) / s, (R[1, 0] - R[0, 1]) / s,
+        ])
+    i = int(np.argmax(np.diag(R)))
+    j, k = (i + 1) % 3, (i + 2) % 3
+    s = np.sqrt(max(1.0 + R[i, i] - R[j, j] - R[k, k], 1e-12)) * 2
+    q = np.zeros(4)
+    q[0] = (R[k, j] - R[j, k]) / s
+    q[1 + i] = 0.25 * s
+    q[1 + j] = (R[j, i] + R[i, j]) / s
+    q[1 + k] = (R[k, i] + R[i, k]) / s
+    return q
+
+
+def _load_snap_views(ctx, max_views: int = 30):
+    """Dataset camera poses → viewer-world (position, wxyz) for snapping
+    (reference viewer.py:229-268). Inverse of render_frame's RUB→DRB map."""
+    try:
+        from acn_tpu.data.dataset import get_image_metadata
+
+        train_md, val_md = get_image_metadata(
+            ctx["data_path"], ctx["P"].downscale
+        )
+        metas = [m for m in (val_md or train_md) if m is not None][:max_views]
+    except Exception:
+        return []
+    coord = ctx.get("coordinate_info", {})
+    psf = float(coord.get("pose_scale_factor", 1.0))
+    origin = np.asarray(coord.get("origin_drb", np.zeros(3)), np.float32)
+    views = []
+    for md in metas:
+        c2w = np.asarray(md.c2w, np.float32)  # RUB-cam → normalized DRB world
+        R_v = RUB_TO_DRB.T @ c2w[:, :3]
+        pos = RUB_TO_DRB.T @ (c2w[:, 3] * psf + origin)
+        views.append((pos.astype(np.float64), _rot_to_wxyz(R_v)))
+    return views
 
 
 def launch_viewer(ctx: Dict[str, Any]):
@@ -155,22 +200,77 @@ def launch_viewer(ctx: Dict[str, Any]):
         )
         gui_occ = server.gui.add_checkbox("Occupancy renderer", state.use_occ)
 
+    with server.gui.add_folder("Sampling"):
+        gui_full_samples = server.gui.add_slider(
+            "Full samples", 8, 256, 4, state.full_samples
+        )
+        gui_preview_samples = server.gui.add_slider(
+            "Preview samples", 4, 128, 4, state.preview_samples
+        )
+
     # ---- Postprocessing (reference viewer.py:169-227) ----
     with server.gui.add_folder("Postprocessing"):
         gui_exposure = server.gui.add_slider("Exposure", -4.0, 4.0, 0.1, 0.0)
         gui_gamma = server.gui.add_slider("Gamma", 0.5, 3.0, 0.05, 1.0)
+        gui_depth_cmap = server.gui.add_dropdown(
+            "Depth colormap", ("turbo", "viridis", "gray"),
+            initial_value=state.depth_colormap,
+        )
+        psf = float(ctx.get("coordinate_info", {}).get("pose_scale_factor", 1.0))
+        gui_near = server.gui.add_slider("Near (m)", 0.0, 500.0, 1.0, 0.0)
+        gui_far = server.gui.add_slider("Far (m)", 0.0, 5000.0, 10.0, 0.0)
+
+    # ---- Camera (reference viewer.py:229-322) ----
+    snap_views = _load_snap_views(ctx)
+    last_cam = {"c2w": None, "client": None}
+    with server.gui.add_folder("Camera"):
+        gui_snap = server.gui.add_dropdown(
+            "Dataset view",
+            tuple(str(i) for i in range(max(len(snap_views), 1))),
+            initial_value="0",
+        )
+        gui_snap_btn = server.gui.add_button("Snap to view")
+        gui_dolly_in = server.gui.add_button("Dolly in")
+        gui_dolly_out = server.gui.add_button("Dolly out")
+        gui_shot = server.gui.add_button("Screenshot")
 
     # ---- Operation mode (reference viewer.py:324-691) ----
     with server.gui.add_folder("Operation Mode"):
         gui_mode = server.gui.add_dropdown(
             "Mode", ("view", "runtime_adapt"), initial_value="view"
         )
+        gui_target = server.gui.add_number("Target steps", 0)
         gui_start = server.gui.add_button("Start")
         gui_pause = server.gui.add_button("Pause")
         gui_resume = server.gui.add_button("Resume")
         gui_stop = server.gui.add_button("Stop")
         gui_step = server.gui.add_button("Step once")
+        gui_reset = server.gui.add_button("Reset weights")
         gui_status = server.gui.add_text("Status", initial_value="idle", disabled=True)
+
+    # ---- Live hyperparameters (reference viewer.py:393-551) ----
+    with server.gui.add_folder("Hyperparameters"):
+        gui_support = server.gui.add_number(
+            "Support rays", int(P.support_rays)
+        )
+        gui_downscale = server.gui.add_number(
+            "Downscale", float(P.downscale)
+        )
+        gui_lrs = {
+            g: server.gui.add_number(f"lr/{g}", float(v))
+            for g, v in (
+                ("encoding", P.encoding_lr), ("sigma", P.sigma_lr),
+                ("color", P.color_lr), ("background", P.bg_lr),
+            )
+        }
+
+    # ---- Continual batches + checkpoints (reference viewer.py:553-691) ----
+    with server.gui.add_folder("Continual batches"):
+        gui_batch_dir = server.gui.add_text("Batch dir", initial_value="")
+        gui_scan = server.gui.add_button("Scan && Verify")
+        gui_scan_out = server.gui.add_text("Scan result", initial_value="",
+                                           disabled=True)
+        gui_save_ckpt = server.gui.add_button("Save runtime checkpoint")
 
     def sync_state(_=None):
         state.display = gui_display.value
@@ -179,19 +279,110 @@ def launch_viewer(ctx: Dict[str, Any]):
         state.use_occ = bool(gui_occ.value)
         state.exposure = float(gui_exposure.value)
         state.gamma = float(gui_gamma.value)
+        state.depth_colormap = gui_depth_cmap.value
+        state.full_samples = int(gui_full_samples.value)
+        state.preview_samples = int(gui_preview_samples.value)
+        state.near_override_m = float(gui_near.value) or None
+        state.far_override_m = float(gui_far.value) or None
 
-    for h in (gui_display, gui_bg, gui_module, gui_occ, gui_exposure, gui_gamma):
+    for h in (gui_display, gui_bg, gui_module, gui_occ, gui_exposure,
+              gui_gamma, gui_depth_cmap, gui_full_samples,
+              gui_preview_samples, gui_near, gui_far):
         h.on_update(sync_state)
 
-    gui_mode.on_update(lambda _: controller.set_mode(gui_mode.value))
-    gui_start.on_click(lambda _: controller.start())
+    def sync_hparams(_=None):
+        r = controller.runner
+        r.support_rays = max(int(gui_support.value), 16)
+        r.downscale = float(gui_downscale.value)
+        for g, h in gui_lrs.items():
+            r.update_lr(g, float(h.value))
+
+    for h in (gui_support, gui_downscale, *gui_lrs.values()):
+        h.on_update(sync_hparams)
+
+    def on_scan(_):
+        try:
+            res = verify_continual_batch_dir(gui_batch_dir.value)
+            gui_scan_out.value = f"OK: {res}"
+        except Exception as e:
+            gui_scan_out.value = f"FAIL: {e}"
+
+    gui_scan.on_click(on_scan)
+    gui_save_ckpt.on_click(
+        lambda _: controller.runner.save_runtime_checkpoint(
+            ctx["logger"].logdir if "logger" in ctx else "logs/viewer"
+        )
+    )
+    gui_reset.on_click(lambda _: controller.runner.reset_fast())
+
+    def on_mode(_):
+        kwargs = {}
+        if gui_mode.value == "runtime_adapt" and gui_batch_dir.value:
+            from pathlib import Path
+
+            kwargs["batch_dir"] = Path(gui_batch_dir.value)
+        controller.set_mode(gui_mode.value, **kwargs)
+        sync_hparams()
+
+    gui_mode.on_update(on_mode)
+    gui_start.on_click(lambda _: controller.start(int(gui_target.value)))
     gui_pause.on_click(lambda _: controller.pause())
     gui_resume.on_click(lambda _: controller.resume())
     gui_stop.on_click(lambda _: controller.stop())
     gui_step.on_click(lambda _: controller.step_once())
 
+    def snap_camera(_):
+        client = last_cam["client"]
+        if client is None or not snap_views:
+            return
+        i = min(int(gui_snap.value), len(snap_views) - 1)
+        pos_rub, wxyz = snap_views[i]
+        client.camera.position = pos_rub
+        client.camera.wxyz = wxyz
+
+    def dolly(sign):
+        client = last_cam["client"]
+        if client is None:
+            return
+        import viser.transforms as vtf
+
+        Rm = vtf.SO3(client.camera.wxyz).as_matrix()
+        fwd = -Rm[:, 2]  # RUB: -z forward
+        step = 0.05 * float(
+            ctx.get("coordinate_info", {}).get("pose_scale_factor", 1.0)
+        )
+        client.camera.position = client.camera.position + sign * step * fwd
+
+    gui_snap_btn.on_click(snap_camera)
+    gui_dolly_in.on_click(lambda _: dolly(+1.0))
+    gui_dolly_out.on_click(lambda _: dolly(-1.0))
+
+    def screenshot(_):
+        c2w = last_cam["c2w"]
+        if c2w is None:
+            return
+        from pathlib import Path
+
+        from PIL import Image
+
+        H, W = 1080, 1920
+        fy = H / (2 * np.tan(last_cam.get("fov", 1.0) / 2))
+        img = render_frame(
+            ctx, controller, renderer, state, c2w_rub_world=c2w,
+            H=H, W=W, fx=fy, fy=fy, cx=W / 2, cy=H / 2, preview=False,
+        )
+        out = Path("logs/screenshots")
+        out.mkdir(parents=True, exist_ok=True)
+        p = out / f"shot_{int(time.time())}.png"
+        Image.fromarray(img).save(p)
+        gui_status.value = f"saved {p}"
+
+    gui_shot.on_click(screenshot)
+
     @server.on_client_connect
     def _(client: "viser.ClientHandle"):
+        last_cam["client"] = client
+
         @client.camera.on_update
         def _(_):
             cam = client.camera
@@ -201,6 +392,8 @@ def launch_viewer(ctx: Dict[str, Any]):
 
             R = vtf.SO3(cam.wxyz).as_matrix()
             c2w = np.concatenate([R, cam.position[:, None]], axis=1)
+            last_cam["c2w"] = c2w.astype(np.float32)
+            last_cam["fov"] = float(cam.fov)
             img = render_frame(
                 ctx, controller, renderer, state,
                 c2w_rub_world=c2w.astype(np.float32),

@@ -52,9 +52,20 @@ def _bench_step(step_fn, state, batch, occ, iters=5):
 
 
 def main():
+    import os
     import types
 
     import jax
+
+    cache = os.environ.get(
+        "ACN_TPU_COMPILATION_CACHE", os.path.expanduser("~/.cache/acn_tpu_xla")
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from __graft_entry__ import _toy_problem
@@ -84,9 +95,12 @@ def main():
     opt = build_optimizer(P, labels, grad_clip=P.grad_clip)
 
     def fresh_state():
+        # copy: the benched step donates its input state, which would
+        # invalidate the shared `variables` for the next regime
+        v = jax.tree.map(jnp.copy, variables)
         return {
-            "variables": variables,
-            "opt_state": opt.init(variables["params"]),
+            "variables": v,
+            "opt_state": opt.init(v["params"]),
             "step": jnp.zeros((), jnp.int32),
         }
 
