@@ -1,0 +1,113 @@
+"""1080p novel-view render throughput benchmark (the viewer path).
+
+Measures full-frame rendering FPS — the BASELINE north-star metric
+("1080p novel-view render ≥ 30 FPS") — through the same chunked Renderer
+the viewer and eval use, in both regimes:
+
+* stratified (ray_samples dense sampling);
+* occupancy-guided (sparse grid, the steady-state/serving regime).
+
+Usage (standalone, synthetic scene — no dataset needed):
+    python -m acn_tpu.scripts.bench_render [--hw 1080 1920] [--frames 5]
+
+Or against a trained checkpoint:
+    python -m acn_tpu.scripts.bench_render --checkpoint_path <run> --prefix best
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+import types
+
+
+def main(argv=None):
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("ACN_TPU_COMPILATION_CACHE",
+                       os.path.expanduser("~/.cache/acn_tpu_xla")),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from __graft_entry__ import _toy_problem
+    from acn_tpu.occupancy.grid import OccConfig, init_occ_state
+    from acn_tpu.pipelines.renderer import Renderer
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--hw", type=int, nargs=2, default=(1080, 1920))
+    ap.add_argument("--frames", type=int, default=5)
+    ap.add_argument("--ray_samples", type=int, default=96)
+    ap.add_argument("--occ_s_max", type=int, default=256)
+    ap.add_argument("--occ_s_kept", type=int, default=64)
+    ap.add_argument("--chunk_points", type=int, default=4_000_000)
+    ap.add_argument("--checkpoint_path", type=str, default=None)
+    ap.add_argument("--prefix", type=str, default="best")
+    ap.add_argument("--occupancy_frac", type=float, default=0.10)
+    args = ap.parse_args(argv)
+
+    H, W = args.hw
+    K = 4
+    cfg, variables = _toy_problem(K=K, hash_log2=17, hash_levels=16)
+    occ_cfg = OccConfig(resolution=128, levels=1, near_plane=1e-3,
+                        far_plane=1e3)
+    aabb = jnp.asarray([[-1, -1, -1], [1, 1, 1]], jnp.float32)
+
+    def occ_state_k(seed):
+        st = init_occ_state(aabb, occ_cfg)
+        bins = (
+            jax.random.uniform(jax.random.PRNGKey(seed), st["binaries"].shape)
+            < args.occupancy_frac
+        )
+        return {**st, "binaries": bins}
+
+    occ_states = jax.tree.map(
+        lambda *xs: jnp.stack(xs), *[occ_state_k(i) for i in range(K)]
+    )
+
+    P = types.SimpleNamespace(
+        ray_samples=args.ray_samples, chunk_points=args.chunk_points,
+        bg_color_default="white", occ_s_max=args.occ_s_max,
+        occ_s_kept=args.occ_s_kept, use_amp=True,
+    )
+    renderer = Renderer(cfg, P, occ_cfg)
+
+    # overhead camera looking down (+x is Down in DRB)
+    c2w = np.array(
+        [[0.0, 0.0, -1.0, -2.0],
+         [0.0, 1.0, 0.0, 0.0],
+         [1.0, 0.0, 0.0, 0.0]], np.float32
+    )
+    fy = 0.7 * H
+    intr = np.array([fy, fy, W / 2, H / 2], np.float32)
+
+    out = {}
+    for regime, use_occ in (("occ", True), ("stratified", False)):
+        # warm / compile
+        renderer.render_image(
+            variables, occ_states, H=H, W=W, intrinsics=intr, c2w=c2w,
+            aabb=np.asarray(aabb), use_occ=use_occ,
+        )
+        t0 = time.perf_counter()
+        for _ in range(args.frames):
+            rgb, _, _ = renderer.render_image(
+                variables, occ_states, H=H, W=W, intrinsics=intr, c2w=c2w,
+                aabb=np.asarray(aabb), use_occ=use_occ,
+            )
+        dt = (time.perf_counter() - t0) / args.frames
+        out[f"{regime}_fps"] = round(1.0 / dt, 2)
+        out[f"{regime}_ms_per_frame"] = round(dt * 1e3, 1)
+
+    out.update({"H": H, "W": W, "ray_samples": args.ray_samples,
+                "occ_s_kept": args.occ_s_kept})
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
