@@ -86,38 +86,32 @@ def route_rays_to_cells(
     Returns (N,) int32 cell ids; −1 where no cell overlaps more than
     ``min_overlap`` (weak-overlap filtering, task_dataset.py:544-627).
     """
-    import jax
-    import jax.numpy as jnp
-
-    cells_j = jnp.asarray(cells, jnp.float32)
+    # Pure numpy, host-side: routing is one-time preprocessing over tens of
+    # millions of rays; shipping 8 MB chunks through the remote-TPU tunnel
+    # per 262k rays proved both slower and fragile (wedged RPCs), while a
+    # vectorized float32 numpy pass does the whole sweep in seconds.
     C = len(cells)
     N = len(rays)
-
-    @partial(jax.jit, static_argnames=())
-    def route_chunk(r):
-        o = r[:, None, :3]
-        d = r[:, None, 3:6]
-        near = r[:, 6:7]
-        far = r[:, 7:8]
-        eps = 1e-9
-        d_safe = jnp.where(jnp.abs(d) < eps, jnp.where(d >= 0, eps, -eps), d)
-        inv = 1.0 / d_safe
-        t0 = (cells_j[None, :, 0, :] - o) * inv  # (n, C, 3) — fused by XLA
-        t1 = (cells_j[None, :, 1, :] - o) * inv
-        t_lo = jnp.maximum(jnp.max(jnp.minimum(t0, t1), axis=-1), near)
-        t_hi = jnp.minimum(jnp.min(jnp.maximum(t0, t1), axis=-1), far)
-        overlap = jnp.maximum(t_hi - t_lo, 0.0)  # (n, C)
-        best = jnp.argmax(overlap, axis=1).astype(jnp.int32)
-        best_val = jnp.take_along_axis(overlap, best[:, None], axis=1)[:, 0]
-        return jnp.where(best_val <= min_overlap, -1, best)
-
+    cells_np = np.asarray(cells, np.float32)  # (C, 2, 3)
     out = np.empty(N, np.int32)
     for s in range(0, N, chunk):
         e = min(s + chunk, N)
         r = np.asarray(rays[s:e], np.float32)
-        if e - s < chunk:  # pad to the fixed chunk shape (one compile)
-            r = np.concatenate([r, np.zeros((chunk - (e - s), 8), np.float32)])
-        out[s:e] = np.asarray(route_chunk(jnp.asarray(r)))[: e - s]
+        o = r[:, None, :3]
+        d = r[:, None, 3:6]
+        near = r[:, 6:7]
+        far = r[:, 7:8]
+        eps = np.float32(1e-9)
+        d_safe = np.where(np.abs(d) < eps, np.where(d >= 0, eps, -eps), d)
+        inv = 1.0 / d_safe
+        t0 = (cells_np[None, :, 0, :] - o) * inv  # (n, C, 3)
+        t1 = (cells_np[None, :, 1, :] - o) * inv
+        t_lo = np.maximum(np.minimum(t0, t1).max(axis=-1), near)
+        t_hi = np.minimum(np.maximum(t0, t1).min(axis=-1), far)
+        overlap = np.maximum(t_hi - t_lo, 0.0)  # (n, C)
+        best = overlap.argmax(axis=1).astype(np.int32)
+        best_val = np.take_along_axis(overlap, best[:, None], axis=1)[:, 0]
+        out[s:e] = np.where(best_val <= min_overlap, -1, best)
     return out
 
 
@@ -335,11 +329,16 @@ def build_device_pools(
             if len(pool) == 0:
                 continue
             pimg = s.pool_imgs[c]
-            imgs, counts = np.unique(pimg, return_counts=True)
+            # group by image with one stable sort (not I boolean scans)
+            by_img = np.argsort(pimg, kind="stable")
+            sorted_img = pimg[by_img]
+            uniq, starts_u, counts = np.unique(
+                sorted_img, return_index=True, return_counts=True
+            )
             order = np.argsort(-counts, kind="stable")[:I]
             pos = 0
             for slot, oi in enumerate(order):
-                seg = pool[pimg == imgs[oi]]
+                seg = pool[by_img[starts_u[oi] : starts_u[oi] + counts[oi]]]
                 seg = rng.permutation(seg).astype(np.int32)
                 seg = seg[: P - pos]
                 if len(seg) == 0:

@@ -81,7 +81,60 @@ def dataset_info(data_path: Path) -> str:
         fov_y = 2 * np.degrees(np.arctan(H / (2 * fy)))
         lines.append(f"fov_x: {fov_x.min():.2f}..{fov_x.max():.2f} deg; "
                      f"fov_y: {fov_y.min():.2f}..{fov_y.max():.2f} deg")
-        lines.append(f"sizes: {sorted(set(sizes))}")
+        from collections import Counter
+
+        lines.append(f"sizes: {Counter(sizes).most_common()}")
+        lines.append(f"ray total: {int((H * W).sum()):,}")
+
+        # per-axis position quantiles (reference _quantiles, :82-95)
+        q = [0.0, 0.05, 0.5, 0.95, 1.0]
+        for a, name in enumerate(("Down", "Right", "Back")):
+            vals = np.quantile(t[:, a], q)
+            lines.append(
+                f"t.{name:<5} quantiles {q}: "
+                + " ".join(f"{v:+.4f}" for v in vals)
+            )
+
+        # scene extent + camera baselines (reference :215-310)
+        ext = t.max(0) - t.min(0)
+        lines.append(
+            f"camera bbox extent (norm): {ext.tolist()} "
+            f"diag {np.linalg.norm(ext):.4f} "
+            f"({np.linalg.norm(ext) * psf:.1f} m)"
+        )
+        if len(t) > 1:
+            d2 = np.linalg.norm(t[:, None] - t[None], axis=-1)
+            np.fill_diagonal(d2, np.inf)
+            nn = d2.min(1)
+            lines.append(
+                f"nearest-neighbor baseline (m): mean {nn.mean() * psf:.2f} "
+                f"min {nn.min() * psf:.2f} max {nn.max() * psf:.2f}"
+            )
+
+        # signed roll about the forward axis (reference _signed_roll_deg,
+        # :130-152): project camera Right onto the plane ⊥ forward and
+        # measure its angle to the horizontal in-plane direction
+        fwd = fwd_drb / np.linalg.norm(fwd_drb, axis=1, keepdims=True)
+        right = R[:, :, 0]
+        up_world = np.array([-1.0, 0.0, 0.0])  # "up" = -Down
+        horiz = np.cross(up_world[None], fwd)
+        norm = np.linalg.norm(horiz, axis=1, keepdims=True)
+        ok = norm[:, 0] > 1e-6
+        if ok.any():
+            h_dir = horiz[ok] / norm[ok]
+            r_proj = right[ok] - (right[ok] * fwd[ok]).sum(1, keepdims=True) * fwd[ok]
+            r_proj /= np.maximum(np.linalg.norm(r_proj, axis=1, keepdims=True), 1e-9)
+            cosang = np.clip((r_proj * h_dir).sum(1), -1, 1)
+            sinang = (np.cross(h_dir, r_proj) * fwd[ok]).sum(1)
+            roll = np.degrees(np.arctan2(sinang, cosang))
+            lines.append(
+                f"signed roll (deg): mean {roll.mean():+.2f} "
+                f"std {roll.std():.2f} range {roll.min():+.2f}..{roll.max():+.2f}"
+            )
+        lines.append(
+            "mean forward (DRB): "
+            + np.array2string(fwd.mean(0), precision=3)
+        )
     return "\n".join(lines)
 
 

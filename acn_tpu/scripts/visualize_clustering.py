@@ -73,6 +73,37 @@ def save_region_viz2d(out_path, centroids, aabb_global, cams, boundary_margin,
     plt.close(fig)
 
 
+def save_overview_scatter(out_path, centroids, cams, cluster_2d=True):
+    """Cameras colored by their nearest centroid (reference
+    visualize_clustering.py save_overview_scatter:166-221)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    sub = (1, 2) if cluster_2d else (0, 1, 2)
+    d = np.linalg.norm(
+        cams[:, None, sub] - centroids[None, :, sub], axis=-1
+    )
+    owner = d.argmin(1)
+    fig, ax = plt.subplots(figsize=(7, 7))
+    for cid in range(len(centroids)):
+        sel = owner == cid
+        ax.scatter(
+            cams[sel, 1], cams[sel, 2], s=10,
+            color=CELL_COLORS[cid % len(CELL_COLORS)],
+            label=f"module {cid} ({sel.sum()})",
+        )
+    ax.scatter(centroids[:, 1], centroids[:, 2], s=140, marker="*",
+               c="white", edgecolors="k", zorder=5)
+    ax.set_xlabel("R (east)")
+    ax.set_ylabel("B (south)")
+    ax.set_title("Cameras by nearest centroid")
+    ax.legend(fontsize=8)
+    fig.savefig(out_path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+
+
 def color_overlay(rgb01: np.ndarray, masks: np.ndarray, alpha=0.45) -> np.ndarray:
     """Overlay per-module colors on an image; overlaps brighten
     (reference _color_overlay)."""
@@ -111,24 +142,30 @@ def run_visualize(h) -> Path:
                       float(params["boundary_margin"]),
                       bool(params["cluster_2d"]))
     print(f"wrote {out_dir / 'regions.png'}")
+    save_overview_scatter(out_dir / "scatter_cameras.png", cents, cams,
+                          bool(params["cluster_2d"]))
+    print(f"wrote {out_dir / 'scatter_cameras.png'}")
 
-    for md in train_md[: h.num_overlays]:
-        rgb = md.load_image().astype(np.float32) / 255.0
-        masks = []
-        for c in range(K):
-            p = mask_root / str(c) / f"{Path(md.image_path).stem}.pt"
-            m = load_mask(p) if p.exists() else np.zeros((md.H, md.W), bool)
-            if m.shape != (md.H, md.W):  # nearest resize
-                ys = (np.arange(md.H) * m.shape[0] / md.H).astype(int)
-                xs = (np.arange(md.W) * m.shape[1] / md.W).astype(int)
-                m = m[ys][:, xs]
-            masks.append(m)
-        over = color_overlay(rgb, np.stack(masks))
-        name = Path(md.image_path).stem
-        Image.fromarray((over * 255).astype(np.uint8)).save(
-            out_dir / f"overlay_{name}.png"
-        )
-        print(f"wrote {out_dir / f'overlay_{name}.png'}")
+    for split, metas in (("train", train_md), ("val", val_md)):
+        split_dir = out_dir / "clustering" / split
+        split_dir.mkdir(parents=True, exist_ok=True)
+        for md in metas[: h.num_overlays]:
+            rgb = md.load_image().astype(np.float32) / 255.0
+            masks = []
+            for c in range(K):
+                p = mask_root / str(c) / f"{Path(md.image_path).stem}.pt"
+                m = load_mask(p) if p.exists() else np.zeros((md.H, md.W), bool)
+                if m.shape != (md.H, md.W):  # nearest resize
+                    ys = (np.arange(md.H) * m.shape[0] / md.H).astype(int)
+                    xs = (np.arange(md.W) * m.shape[1] / md.W).astype(int)
+                    m = m[ys][:, xs]
+                masks.append(m)
+            over = color_overlay(rgb, np.stack(masks))
+            name = Path(md.image_path).stem
+            Image.fromarray((over * 255).astype(np.uint8)).save(
+                split_dir / f"{name}_assign.png"
+            )
+            print(f"wrote {split_dir / f'{name}_assign.png'}")
     return out_dir
 
 

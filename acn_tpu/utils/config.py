@@ -46,7 +46,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--save_step", type=int, default=1000)
     parser.add_argument("--print_step", type=int, default=1)
     parser.add_argument(
-        "--log_method", type=str, default="step", choices=["step", "patch"]
+        "--log_method", type=str, default="step", choices=["step", "patch"],
+        help="surface parity with the reference (common/args.py:23); "
+             "consumed nowhere in the reference either"
     )
 
     # --- data
@@ -93,7 +95,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--log2_hashmap_size", type=int, default=20)
     parser.add_argument("--use_occ", action="store_true")
     parser.add_argument(
-        "--xyz_encoding", type=str, default="hash", choices=["frequency", "hash"]
+        "--xyz_encoding", type=str, default="hash",
+        choices=["frequency", "hash"],
+        help="ARCH_KEYS surface parity (reference common/args.py:70); the "
+             "instant variant is hash-only in both implementations — use "
+             "--nerf_variant vanilla for a frequency-encoded expert"
     )
     parser.add_argument(
         "--dir_encoding",

@@ -183,7 +183,9 @@ def launch_viewer(ctx: Dict[str, Any]):
     state = ViewerState(P)
     K = ctx["cfg"].num_submodules
 
-    server = viser.ViserServer(host="0.0.0.0", port=8080)
+    server = viser.ViserServer(
+        host=str(getattr(P, "viewer_public_host", "0.0.0.0")), port=8080
+    )
 
     # ---- Visuals panel (reference viewer.py:137-167) ----
     with server.gui.add_folder("Visuals"):

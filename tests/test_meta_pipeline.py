@@ -232,3 +232,14 @@ def test_train_step_sharded_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(m_single["psnr_out"]), np.asarray(m_shard["psnr_out"]), rtol=1e-4
     )
+
+
+def test_maybe_init_distributed_noop_without_env(monkeypatch):
+    """Single-process default: no coordination env vars → untouched runtime."""
+    from acn_tpu.parallel.mesh import maybe_init_distributed
+
+    for var in ("COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
+                "PROCESS_ID", "JAX_PROCESS_ID", "NUM_PROCESSES",
+                "JAX_NUM_PROCESSES"):
+        monkeypatch.delenv(var, raising=False)
+    assert maybe_init_distributed() is False
