@@ -151,3 +151,41 @@ def from_camera_poses(poses: Array, scale_factor: float = 1.0) -> Array:
     mn = jnp.min(xyzs, axis=-2)
     mx = jnp.max(xyzs, axis=-2)
     return jnp.stack([mn, mx]) * scale_factor
+
+
+# ============================ oriented boxes ============================
+#
+# Functional port of the reference's OrientedBox (scene_box.py:220-264),
+# used by the viewer for crop widgets. An OBB is the tuple (R (3,3), T (3,),
+# S (3,)) — rotation, center, full sizes.
+
+
+def obb_from_params(pos, rpy, scale) -> tuple:
+    """Build (R, T, S) from position / roll-pitch-yaw (radians) / scale
+    (reference OrientedBox.from_params, scene_box.py:244-254)."""
+    r, p, y = [jnp.asarray(v, jnp.float32) for v in rpy]
+    cr, sr = jnp.cos(r), jnp.sin(r)
+    cp, sp = jnp.cos(p), jnp.sin(p)
+    cy, sy = jnp.cos(y), jnp.sin(y)
+    Rz = jnp.array([[cy, -sy, 0.0], [sy, cy, 0.0], [0.0, 0.0, 1.0]])
+    Ry = jnp.array([[cp, 0.0, sp], [0.0, 1.0, 0.0], [-sp, 0.0, cp]])
+    Rx = jnp.array([[1.0, 0.0, 0.0], [0.0, cr, -sr], [0.0, sr, cr]])
+    R = Rz @ Ry @ Rx
+    return R, jnp.asarray(pos, jnp.float32), jnp.asarray(scale, jnp.float32)
+
+
+def obb_within(obb: tuple, pts: Array) -> Array:
+    """Boolean mask of points inside the OBB (reference
+    OrientedBox.within, scene_box.py:229-242)."""
+    R, T, S = obb
+    local = (pts - T[None, :]) @ R  # worldR^T x = x @ R
+    half = S / 2.0
+    return jnp.all((local > -half[None, :]) & (local < half[None, :]), axis=-1)
+
+
+def obb_to_aabb(obb: tuple) -> Array:
+    """Tight world-aligned AABB of the OBB (reference
+    OrientedBox.to_aabb, scene_box.py:256-264)."""
+    R, T, S = obb
+    ext = jnp.abs(R) @ (S / 2.0)
+    return jnp.stack([T - ext, T + ext])

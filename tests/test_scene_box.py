@@ -92,3 +92,29 @@ def test_intersects_segment_prefilter():
     )
     hit = sbox.intersects_segment(aabb, rays)
     assert list(np.asarray(hit)) == [True, False, False]
+
+
+def test_oriented_box():
+    import numpy as np
+    from acn_tpu.nerfs.scene_box import (
+        obb_from_params, obb_to_aabb, obb_within, within,
+    )
+
+    # axis-aligned OBB == AABB semantics
+    obb = obb_from_params((1.0, 2.0, 3.0), (0.0, 0.0, 0.0), (2.0, 4.0, 6.0))
+    aabb = obb_to_aabb(obb)
+    np.testing.assert_allclose(np.asarray(aabb), [[0, 0, 0], [2, 4, 6]], atol=1e-6)
+    pts = jnp.array([[1.0, 2.0, 3.0], [2.1, 2.0, 3.0], [0.5, 0.5, 0.5]])
+    np.testing.assert_array_equal(
+        np.asarray(obb_within(obb, pts)), [True, False, True]
+    )
+
+    # rotated 90° about z: x-extent and y-extent swap
+    obb = obb_from_params((0.0, 0.0, 0.0), (0.0, 0.0, np.pi / 2), (2.0, 6.0, 4.0))
+    aabb = obb_to_aabb(obb)
+    np.testing.assert_allclose(
+        np.asarray(aabb), [[-3, -1, -2], [3, 1, 2]], atol=1e-5
+    )
+    # a point at x=2.5 (inside the rotated long axis) is inside
+    assert bool(obb_within(obb, jnp.array([[2.5, 0.0, 0.0]]))[0])
+    assert not bool(obb_within(obb, jnp.array([[0.0, 2.5, 0.0]]))[0])
