@@ -162,10 +162,22 @@ class HashGridConfig:
     interpolation: str = "Linear"  # "Linear" | "Nearest" | "Smoothstep"
     backend: str = "auto"  # "auto" | "jnp" | "pallas"
     layout: str = "corner"  # "corner" | "cell"
+    # Clamp per-level cell-layout tables to res³ rows with LINEAR (dense)
+    # indexing when that's smaller than 2^log2 — tcnn's behavior
+    # (collision-free coarse levels, smaller scatter targets). Changes table
+    # shapes, so it is opt-in for checkpoint compatibility.
+    dense_levels: bool = False
 
     @property
     def table_size(self) -> int:
         return 2**self.log2_hashmap_size
+
+    def level_rows(self, l: int) -> int:
+        """Cell-layout rows for level l (dense-clamped when enabled)."""
+        if self.layout == "cell" and self.dense_levels:
+            res = int(self.level_resolutions()[l])
+            return min(self.table_size, res * res * res)
+        return self.table_size
 
     @property
     def out_dim(self) -> int:
@@ -200,9 +212,9 @@ def init_hash_table(key: jax.Array, cfg: HashGridConfig):
         keys = jax.random.split(key, cfg.levels)
         w = 8 * cfg.features_per_level
         return [
-            jax.random.uniform(k, (cfg.table_size, w), jnp.float32, -1.0, 1.0)
+            jax.random.uniform(k, (cfg.level_rows(l), w), jnp.float32, -1.0, 1.0)
             * cfg.hash_init_scale
-            for k in keys
+            for l, k in enumerate(keys)
         ]
     T = cfg.table_size * cfg.levels
     return (
@@ -315,7 +327,14 @@ def _hash_encode_cell_impl(tables, x01: Array, cfg: HashGridConfig) -> Array:
         elif cfg.interpolation == "Nearest":
             frac = jnp.round(frac)
 
-        h = _spatial_hash(cell.astype(jnp.int32), cfg.log2_hashmap_size)
+        cell_i = cell.astype(jnp.int32)
+        res_l = int(resolutions[l])
+        if cfg.dense_levels and res_l**3 <= cfg.level_rows(l):
+            # dense level: collision-free linear index (tcnn semantics)
+            ci = jnp.clip(cell_i, 0, res_l - 1)
+            h = (ci[..., 0] * res_l + ci[..., 1]) * res_l + ci[..., 2]
+        else:
+            h = _spatial_hash(cell_i, cfg.log2_hashmap_size)
         rows = tables[l][h]  # (..., 8·F)
 
         wx = frac[..., 0:1]

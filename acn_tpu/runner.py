@@ -78,6 +78,7 @@ def build_model_configs(P, clustering_params) -> ContainerConfig:
         interpolation="Linear",
         backend=getattr(P, "hash_backend", "auto"),
         layout=layout,
+        dense_levels=bool(getattr(P, "hash_dense_levels", False)),
     )
     if P.nerf_variant == "instant":
         expert_cfg = NGPConfig(

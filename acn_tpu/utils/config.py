@@ -111,6 +111,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--hash_backend", type=str, default="auto", choices=["auto", "jnp", "pallas"]
     )
     parser.add_argument(
+        "--hash_dense_levels", action="store_true",
+        help="clamp coarse cell-layout levels to dense res^3 tables with "
+             "collision-free linear indexing (tcnn semantics; smaller "
+             "scatter targets). Changes table shapes -> pinned via ARCH_KEYS")
+    parser.add_argument(
         "--hash_layout", type=str, default="cell", choices=["cell", "corner"],
         help="hash-grid memory layout: 'cell' (TPU-native, 8 corner features "
         "packed per gathered row — ~8x fewer gather/scatter rows) or 'corner' "
@@ -239,6 +244,7 @@ ARCH_KEYS = {
     "max_res",
     "log2_hashmap_size",
     "hash_layout",
+    "hash_dense_levels",
     "xyz_encoding",
     "dir_encoding",
     "no_bg_nerf",

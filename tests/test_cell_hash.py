@@ -82,3 +82,58 @@ def test_cell_ngp_end_to_end():
     assert np.isfinite(np.asarray(out)).all()
     g = jax.grad(lambda p: jnp.sum(ngp_forward(p, cfg, aabb, xd)))(params)
     assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(g))
+
+
+def test_dense_levels_clamp_and_index():
+    """dense_levels=True: coarse levels get res^3 tables with collision-free
+    linear indexing; two points in different cells never alias, and the
+    encode output shape is unchanged."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from acn_tpu.models.encodings import (
+        HashGridConfig, hash_encode, init_hash_table,
+    )
+
+    cfg = HashGridConfig(levels=3, min_res=4, max_res=16,
+                         log2_hashmap_size=10, layout="cell",
+                         dense_levels=True)
+    tables = init_hash_table(jax.random.PRNGKey(0), cfg)
+    # level rows clamp: 4^3=64, then intermediates, max 16^3 > 1024 → 1024
+    assert tables[0].shape[0] == 64
+    assert tables[-1].shape[0] == min(1024, 16 ** 3)
+
+    x = jax.random.uniform(jax.random.PRNGKey(1), (128, 3))
+    out = hash_encode(tables, x, cfg)
+    assert out.shape == (128, cfg.levels * cfg.features_per_level)
+    assert np.isfinite(np.asarray(out)).all()
+
+    # grads flow into the dense tables
+    g = jax.grad(lambda t: hash_encode(t, x, cfg).sum())(tables)
+    assert any(float(jnp.abs(gi).sum()) > 0 for gi in g)
+
+
+def test_dense_level_is_collision_free():
+    """At a dense level, distinct cells address distinct rows: setting one
+    cell's row changes only queries inside that cell."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from acn_tpu.models.encodings import (
+        HashGridConfig, hash_encode, init_hash_table,
+    )
+
+    cfg = HashGridConfig(levels=1, min_res=4, max_res=4,
+                         log2_hashmap_size=12, layout="cell",
+                         dense_levels=True)
+    tables = init_hash_table(jax.random.PRNGKey(0), cfg)
+    tables = [jnp.zeros_like(tables[0])]
+    # poke cell (1, 2, 3): row = (1*4 + 2)*4 + 3 = 27
+    tables[0] = tables[0].at[27].set(1.0)
+
+    inside = jnp.array([[0.375, 0.625, 0.875]])  # cell (1,2,3) at res 4
+    outside = jnp.array([[0.1, 0.1, 0.1]])
+    assert float(jnp.abs(hash_encode(tables, inside, cfg)).sum()) > 0
+    assert float(jnp.abs(hash_encode(tables, outside, cfg)).sum()) == 0
