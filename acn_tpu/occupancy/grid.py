@@ -359,6 +359,81 @@ def compact_samples_strided(
     return idx, mask, stride.astype(jnp.float32)
 
 
+def march_rays_budget(
+    state: Dict[str, Any],
+    rays: Array,  # (N, 8)
+    cfg: OccConfig,
+    s_max: int,
+    budget_per_ray: int,
+    key: Optional[jax.Array] = None,
+    extra_valid_fn: Optional[Callable[[Array], Array]] = None,
+) -> Dict[str, Array]:
+    """Occupancy marching with a **global cross-ray sample budget** — the
+    MoE-capacity-factor pattern applied to volume rendering.
+
+    Per-ray fixed layouts (march_rays) must provision ``s_kept`` model
+    evaluations per ray even when the sharp occupancy grid leaves most rays
+    with far fewer valid samples — masked slots still pay full MLP + hash
+    traffic. Here ALL valid samples across the batch pack into ONE buffer of
+    ``B = N·budget_per_ray`` positions via an exclusive cumsum over the flat
+    validity mask; the model evaluates exactly B points, and per-(ray,
+    sample) results gather back by global position for compositing over the
+    full (N, s_max) bin layout (no stride scaling — every surviving sample
+    keeps its own bin width). Samples past the budget are dropped
+    batch-tail-first (capacity overflow, like MoE token dropping); size the
+    budget ≥ the expected mean valid count and overflow is rare.
+
+    Returns {positions (B, 3), gpos (N, s_max), valid (N, s_max),
+    t_starts/t_ends (N, s_max), overflow (scalar fraction)}.
+    """
+    o, d = rays[:, :3], rays[:, 3:6]
+    near, far = rays[:, 6], rays[:, 7]
+    near = jnp.maximum(near, cfg.near_plane)
+    far = jnp.minimum(far, cfg.far_plane)
+    far = jnp.maximum(far, near)
+
+    e = jnp.linspace(0.0, 1.0, s_max + 1, dtype=jnp.float32)[None, :]
+    edges = near[:, None] * (1.0 - e) + far[:, None] * e
+    t0, t1 = edges[:, :-1], edges[:, 1:]
+    if key is not None:
+        u = jax.random.uniform(key, t0.shape, dtype=jnp.float32)
+    else:
+        u = 0.5
+    t_s = t0 + u * (t1 - t0)
+    x = o[:, None, :] + d[:, None, :] * t_s[..., None]  # (N, s_max, 3)
+
+    valid = (t1 > t0) & occupancy_lookup(state, x)
+    if extra_valid_fn is not None:
+        valid = valid & extra_valid_fn(x)
+
+    N = rays.shape[0]
+    B = N * int(budget_per_ray)
+    flat_valid = valid.reshape(-1)
+    gpos_incl = jnp.cumsum(flat_valid.astype(jnp.int32))
+    gpos = (gpos_incl - 1).reshape(N, s_max)  # rank among valid samples
+    n_valid = gpos_incl[-1]
+
+    keep = flat_valid & (gpos.reshape(-1) < B)
+    slot = jnp.where(keep, gpos.reshape(-1), B)  # B ⇒ dropped
+    xd = jnp.concatenate(
+        [x, jnp.broadcast_to(d[:, None, :], x.shape)], axis=-1
+    ).reshape(-1, 6)
+    buffer_xd = (
+        jnp.zeros((B, 6), jnp.float32).at[slot].set(xd, mode="drop")
+    )
+
+    in_budget = valid & (gpos < B)
+    overflow = jnp.maximum(n_valid - B, 0) / jnp.maximum(n_valid, 1)
+    return {
+        "xd": buffer_xd,
+        "gpos": gpos,
+        "valid": in_budget,
+        "t_starts": t0,
+        "t_ends": t1,
+        "overflow": overflow,
+    }
+
+
 def march_rays(
     state: Dict[str, Any],
     rays: Array,  # (N, 8)

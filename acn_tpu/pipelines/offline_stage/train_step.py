@@ -93,9 +93,17 @@ def make_episode_loss(cfg: ContainerConfig, P, occ_cfg: Optional[OccConfig] = No
     chunk = int(getattr(P, "train_chunk_rays", 0) or 0)
     use_amp = bool(getattr(P, "use_amp", False))
 
+    budget = int(getattr(P, "occ_budget_per_ray", 0) or 0)
+
     def prepare_samples(occ_state, rays, key):
         if not use_occ or (chunk > 0 and rays.shape[0] > chunk):
             return None  # chunked path re-marches per chunk
+        if budget > 0:
+            # global cross-ray sample budget: exactly N·budget model evals
+            # for the whole episode (see occ_grid.march_rays_budget)
+            return occ_grid.march_rays_budget(
+                occ_state, rays, occ_cfg, int(P.occ_s_max), budget, key=key
+            )
         return occ_grid.march_rays(
             occ_state, rays, occ_cfg, int(P.occ_s_max), int(P.occ_s_kept),
             key=key,
@@ -132,16 +140,32 @@ def make_episode_loss(cfg: ContainerConfig, P, occ_cfg: Optional[OccConfig] = No
                     occ_state, rays, occ_cfg,
                     int(P.occ_s_max), int(P.occ_s_kept), key=key,
                 )
-            x = samples["positions"]
-            d = jnp.broadcast_to(rays[:, None, 3:6], x.shape)
-            xd = jnp.concatenate([x, d], axis=-1).reshape(-1, 6)
-            out = fwd(xd).reshape(x.shape[0], x.shape[1], 4)
-            weights, _ = render_weights_from_density(
-                samples["t_starts"], samples["t_ends"], out[..., 3],
-                sample_mask=samples["mask"], dts=samples["dts"],
-            )
-            t_mid = 0.5 * (samples["t_starts"] + samples["t_ends"])
-            rgb_map, _, _ = composite(weights, out[..., :3], t_mid, bg_rgb=bg)
+            if "xd" in samples:  # global-budget layout
+                out_buf = fwd(samples["xd"])  # (B, 4)
+                B = out_buf.shape[0]
+                idx = jnp.clip(samples["gpos"], 0, B - 1)
+                per = out_buf[idx]  # (N, S, 4)
+                weights, _ = render_weights_from_density(
+                    samples["t_starts"], samples["t_ends"], per[..., 3],
+                    sample_mask=samples["valid"],
+                )
+                t_mid = 0.5 * (samples["t_starts"] + samples["t_ends"])
+                rgb_map, _, _ = composite(
+                    weights, per[..., :3], t_mid, bg_rgb=bg
+                )
+            else:
+                x = samples["positions"]
+                d = jnp.broadcast_to(rays[:, None, 3:6], x.shape)
+                xd = jnp.concatenate([x, d], axis=-1).reshape(-1, 6)
+                out = fwd(xd).reshape(x.shape[0], x.shape[1], 4)
+                weights, _ = render_weights_from_density(
+                    samples["t_starts"], samples["t_ends"], out[..., 3],
+                    sample_mask=samples["mask"], dts=samples["dts"],
+                )
+                t_mid = 0.5 * (samples["t_starts"] + samples["t_ends"])
+                rgb_map, _, _ = composite(
+                    weights, out[..., :3], t_mid, bg_rgb=bg
+                )
         return rgb_map
 
     def loss_fn(expert_params, bg_params, aabb, occ_state, rays, rgbs, key,

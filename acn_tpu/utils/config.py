@@ -156,6 +156,12 @@ def build_parser() -> argparse.ArgumentParser:
                         help="retained samples per ray after even-stride "
                              "compaction (model evals/ray in the occ regime; "
                              "keep < ray_samples or occ can't beat stratified)")
+    parser.add_argument("--occ_budget_per_ray", type=int, default=0,
+                        help="global cross-ray sample budget: exactly "
+                             "N*budget model evals per episode render (MoE-"
+                             "capacity-style packing; 0 = per-ray s_kept "
+                             "layout). Unmasks the full data-dependent "
+                             "sparsity of a sharp occupancy grid")
     parser.add_argument("--occ_warmup", type=int, default=256,
                         help="steps of stratified warmup before the occupancy "
                              "renderer takes over (reference meta_ngp.py:131)")

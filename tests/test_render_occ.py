@@ -134,3 +134,53 @@ def test_occ_subsampled_matches_stratified():
 
     np.testing.assert_allclose(np.asarray(acc_o), np.asarray(acc_s), atol=0.08)
     np.testing.assert_allclose(np.asarray(rgb_o), np.asarray(rgb_s), atol=0.08)
+
+
+def test_budget_march_matches_per_ray_when_unconstrained():
+    """With budget >= all valid samples, the global-budget render must equal
+    the per-ray-layout render exactly (same bins, same field, no drops)."""
+    import types
+
+    from acn_tpu.occupancy import grid as occ_grid
+    from acn_tpu.pipelines.offline_stage.train_step import make_episode_loss
+
+    cfg, variables, occ_cfg, occ_states = setup_scene(K=1)
+    occ0 = jax.tree.map(lambda a: a[0], occ_states)
+    rays = rays_through(16)
+    rgbs = jnp.full((16, 3), 0.5)
+    aabb = variables["buffers"]["expert_aabbs"][0]
+    e0 = jax.tree.map(lambda a: a[0], variables["params"]["experts"])
+
+    def P_for(budget):
+        return types.SimpleNamespace(
+            ray_samples=32, color_space="linear", bg_color_default="none",
+            occ_s_max=64, occ_s_kept=64, occ_budget_per_ray=budget,
+            use_amp=False, train_chunk_rays=0,
+        )
+
+    outs = {}
+    for budget in (0, 64):  # 64 = s_max ⇒ budget can never drop a sample
+        loss_fn, prep = make_episode_loss(cfg, P_for(budget), occ_cfg)
+        smp = prep(occ0, rays, None)
+        outs[budget] = float(
+            loss_fn(e0, None, aabb, occ0, rays, rgbs,
+                    jax.random.PRNGKey(0), samples=smp)
+        )
+    assert np.isfinite(outs[0]) and np.isfinite(outs[64])
+    np.testing.assert_allclose(outs[64], outs[0], rtol=1e-5)
+
+
+def test_budget_march_overflow_drops_tail():
+    """An undersized budget reports overflow and still renders finitely."""
+    from acn_tpu.occupancy import grid as occ_grid
+
+    cfg, variables, occ_cfg, occ_states = setup_scene(K=1)
+    occ0 = jax.tree.map(lambda a: a[0], occ_states)
+    rays = rays_through(8)
+    out = occ_grid.march_rays_budget(occ0, rays, occ_cfg, 64, 4)  # tiny budget
+    assert float(out["overflow"]) > 0
+    # every in-budget sample has a buffer slot < B
+    B = out["xd"].shape[0]
+    v = np.asarray(out["valid"])
+    g = np.asarray(out["gpos"])
+    assert (g[v] < B).all() and (g[v] >= 0).all()
