@@ -240,9 +240,11 @@ def meta_trainer(
                 # occ grids are regenerable (premark + warmup) and dominate
                 # checkpoint size — only the final 'last' save keeps them
                 # (the reference intended the same stripping, utils.py:283-289)
+                # params-only: best checkpoints serve eval/serving; resume
+                # uses the step-tagged saves (which carry the optimizer)
                 ckpt.save(
                     logger.logdir, "best", state["variables"],
-                    opt_state=state["opt_state"], occ_states=None,
+                    opt_state=None, occ_states=None,
                     P=P, step=step, best=best, is_best=True,
                 )
                 logger.log(f"[ckpt] new best ({best:.3f}) save queued")

@@ -75,16 +75,24 @@ class AsyncCheckpointer:
     def save(self, run_dir, tag: str, variables, opt_state=None,
              occ_states=None, P=None, step: int = 0,
              best: float = float("-inf"), is_best: bool = False) -> None:
+        # The on-device copies live until the worker's device→host transfer
+        # finishes (minutes on a slow tunnel) — keep them small or training
+        # itself OOMs: frequent 'best' saves snapshot params only; callers
+        # pass opt_state for the rarer step-tagged saves.
         snap = lambda t: None if t is None else jax.tree.map(jnp_copy, t)
-        job = dict(
-            run_dir=run_dir, tag=tag, variables=snap(variables),
-            opt_state=snap(opt_state), occ_states=snap(occ_states),
-            P=P, step=step, best=best, is_best=is_best,
-        )
+        try:
+            job = dict(
+                run_dir=run_dir, tag=tag, variables=snap(variables),
+                opt_state=snap(opt_state), occ_states=snap(occ_states),
+                P=P, step=step, best=best, is_best=is_best,
+            )
+        except Exception as e:  # e.g. HBM exhausted — skip, don't kill training
+            print(f"[ckpt] snapshot for '{tag}' failed ({e}); skipping save")
+            return
         key = f"{run_dir}/{tag}"
         with self._lock:
             fresh = key not in self._by_tag
-            self._by_tag[key] = job
+            self._by_tag[key] = job  # latest wins; replaced copies free now
         if fresh:
             self._pending.put(key)
 
