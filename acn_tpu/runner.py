@@ -15,6 +15,7 @@ flags are wired for real.
 from __future__ import annotations
 
 import os
+import time
 from pathlib import Path
 from typing import Any, Dict, Optional
 
@@ -132,8 +133,38 @@ def build_occ_config(P, pose_scale_factor: float) -> Optional[OccConfig]:
     )
 
 
+def _start_tunnel_keepalive(interval_s: float = 10.0) -> None:
+    """Ping the device periodically from a daemon thread.
+
+    On the remote-TPU (axon) platform, the first RPC after minutes of
+    host-only work (ray prep, routing) can wedge forever — observed twice as
+    a lowering-time constant fetch blocking in ``Array._value`` with zero CPU
+    activity. Tiny periodic transfers keep the tunnel's connection alive
+    through the host-heavy phases. No-op off the remote platform.
+    """
+    import threading
+
+    try:
+        if jax.default_backend() not in ("axon", "tpu"):
+            return
+    except Exception:
+        return
+
+    def ping():
+        while True:
+            try:
+                np.asarray(jnp.zeros(()))  # tiny round trip
+            except Exception:
+                pass
+            time.sleep(interval_s)
+
+    t = threading.Thread(target=ping, daemon=True, name="tunnel-keepalive")
+    t.start()
+
+
 def build_context(P, op: str) -> Dict[str, Any]:
     ctx: Dict[str, Any] = {"P": P, "op": op}
+    _start_tunnel_keepalive()
 
     if getattr(P, "checkpoint_path", None):
         P.checkpoint_path = resolve_checkpoint_dir(P.checkpoint_path, logs_root="logs")
@@ -290,16 +321,23 @@ def premark_occ_states(cfg, occ_cfg, expert_aabbs, metadata_items, near_plane):
     c2w_rdf = jnp.asarray(c2w_rdf)
     W, H = int(mds[0].W), int(mds[0].H)
 
+    # cameras are ARGUMENTS, not closure constants: closure-captured device
+    # arrays embed as MLIR constants whose values are fetched during
+    # lowering — a blocking device→host round trip that can wedge on the
+    # remote-TPU tunnel
     @jax.jit
-    def premark_one(ab):
+    def premark_one(ab, K_in, c2w_in):
         state = occ_grid.init_occ_state(ab, occ_cfg)
         return occ_grid.mark_invisible_cells(
-            state, K_mats, c2w_rdf, W, H, float(near_plane), occ_cfg
+            state, K_in, c2w_in, W, H, float(near_plane), occ_cfg
         )
 
     # sequential per expert: the frustum sweep over all grid cells is memory-
     # heavy; vmapping K experts multiplies the working set
-    states = [premark_one(jnp.asarray(ab)) for ab in np.asarray(expert_aabbs)]
+    states = [
+        premark_one(jnp.asarray(ab), K_mats, c2w_rdf)
+        for ab in np.asarray(expert_aabbs)
+    ]
     return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
 
 
