@@ -85,6 +85,92 @@ def render_expert_occ(
     return rgb_map, depth, weights, acc
 
 
+def render_rays_occ_budget(
+    variables: Dict[str, Any],
+    occ_states: Dict[str, Any],  # stacked (K, ...) occupancy states
+    cfg: ContainerConfig,
+    occ_cfg: OccConfig,
+    rays: Array,  # (N, 8)
+    *,
+    s_max: int,
+    budget_per_ray: int,
+    alpha_thre: float = 0.0,
+    key: Optional[jax.Array] = None,
+    bg_rgb: Optional[Array] = None,
+    params_override=None,
+) -> Tuple[Array, Array, Array, Array]:
+    """Full-container occupancy rendering with a **global cross-ray sample
+    budget** (see occ_grid.march_rays_budget): all experts evaluate exactly
+    N·budget packed points instead of N·s_kept slots. For full frames —
+    where sky/background rays have almost no occupied samples — this
+    converts the frame's true sparsity into wall-clock.
+
+    Returns (rgb_map, depth, weights (N, s_max), acc).
+    """
+    bufs = variables["buffers"]
+    expert_aabbs = bufs["expert_aabbs"]  # (K, 2, 3)
+
+    def any_expert_valid(x):  # (N, S, 3) → (N, S) bool
+        def one(state_k, aabb_k):
+            inside = sbox.within(aabb_k, x, inclusive=False)
+            return inside & occ_grid.occupancy_lookup(state_k, x)
+
+        per_k = jax.vmap(one)(occ_states, expert_aabbs)
+        return jnp.any(per_k, axis=0)
+
+    # dummy always-on grid over the GLOBAL aabb drives the schedule (its own
+    # lookup must never cull — validity comes from the per-expert union)
+    base_state = jax.tree.map(lambda a: a[0], occ_states)
+    base_state = {
+        **base_state,
+        "binaries": jnp.ones_like(base_state["binaries"]),
+        "aabbs": occ_grid.level_aabbs(
+            bufs["global_aabb"], base_state["binaries"].shape[0]
+        ),
+    }
+    samples = occ_grid.march_rays_budget(
+        base_state, rays, occ_cfg, s_max, budget_per_ray, key=key,
+        extra_valid_fn=any_expert_valid,
+    )
+
+    xd = samples["xd"]  # (B, 6)
+    flat_x = xd[:, :3]
+    w = cont.routing_weights(
+        bufs["centroids"], flat_x, cfg.cluster_2d, cfg.boundary_margin
+    )  # (B, K)
+    experts = (
+        params_override if params_override is not None
+        else variables["params"]["experts"]
+    )
+    fwd = cfg.expert_forward
+    outs = jax.vmap(lambda p, ab: fwd(p, cfg.expert, ab, xd))(
+        experts, expert_aabbs
+    )  # (K, B, 4)
+    SIG = outs[..., 3].T  # (B, K)
+    RGB = jnp.moveaxis(outs[..., :3], 0, 1)  # (B, K, 3)
+    w = w.astype(SIG.dtype)
+    s_num = jnp.maximum(jnp.sum(w * SIG, axis=1, keepdims=True), 1e-12)
+    sigma_mix = s_num[:, 0]  # (B,)
+    rgb_mix = jnp.sum(w[..., None] * SIG[..., None] * RGB, axis=1) / s_num
+
+    B = xd.shape[0]
+    idx = jnp.clip(samples["gpos"], 0, B - 1)
+    sigmas = sigma_mix[idx]  # (N, S)
+    rgbs = rgb_mix[idx]  # (N, S, 3)
+    mask = samples["valid"]
+
+    t0k, t1k = samples["t_starts"], samples["t_ends"]
+    if alpha_thre > 0.0:
+        dt = jnp.maximum(t1k - t0k, 0.0)
+        alpha = 1.0 - jnp.exp(-jnp.maximum(sigmas, 0.0) * dt)
+        mask = mask & (alpha >= alpha_thre)
+
+    weights, _ = render_weights_from_density(t0k, t1k, sigmas, sample_mask=mask)
+    t_mid = 0.5 * (t0k + t1k)
+    rgb_map, depth, acc = composite(weights, rgbs, t_mid, bg_rgb=bg_rgb)
+    return rgb_map, depth, weights, acc
+
+
 def render_rays_occ(
     variables: Dict[str, Any],
     occ_states: Dict[str, Any],  # stacked (K, ...) occupancy states

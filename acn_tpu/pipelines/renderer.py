@@ -21,7 +21,11 @@ from acn_tpu.models import container as cont
 from acn_tpu.models.container import ContainerConfig
 from acn_tpu.nerfs import rays as raylib
 from acn_tpu.nerfs.render import bg_default_color, render_rays_stratified
-from acn_tpu.nerfs.render_occ import render_expert_occ, render_rays_occ
+from acn_tpu.nerfs.render_occ import (
+    render_expert_occ,
+    render_rays_occ,
+    render_rays_occ_budget,
+)
 from acn_tpu.occupancy.grid import OccConfig
 
 
@@ -101,7 +105,15 @@ class Renderer:
                     key=k_render if randomized else None,
                     bg_rgb=bg,
                 )
-                if active_module is None:
+                budget = int(getattr(P, "occ_budget_per_ray", 0) or 0)
+                if active_module is None and budget > 0:
+                    rgb, depth, weights, acc = render_rays_occ_budget(
+                        variables, occ_states, cfg, occ_cfg, rays,
+                        s_max=int(P.occ_s_max), budget_per_ray=budget,
+                        alpha_thre=occ_cfg.alpha_thre,
+                        key=k_render if randomized else None, bg_rgb=bg,
+                    )
+                elif active_module is None:
                     rgb, depth, weights, acc = render_rays_occ(
                         variables, occ_states, cfg, occ_cfg, rays, **common
                     )

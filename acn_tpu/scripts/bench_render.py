@@ -50,6 +50,7 @@ def main(argv=None):
     ap.add_argument("--checkpoint_path", type=str, default=None)
     ap.add_argument("--prefix", type=str, default="best")
     ap.add_argument("--occupancy_frac", type=float, default=0.10)
+    ap.add_argument("--occ_budget_per_ray", type=int, default=24)
     args = ap.parse_args(argv)
 
     H, W = args.hw
@@ -71,12 +72,16 @@ def main(argv=None):
         lambda *xs: jnp.stack(xs), *[occ_state_k(i) for i in range(K)]
     )
 
-    P = types.SimpleNamespace(
-        ray_samples=args.ray_samples, chunk_points=args.chunk_points,
-        bg_color_default="white", occ_s_max=args.occ_s_max,
-        occ_s_kept=args.occ_s_kept, use_amp=True,
-    )
-    renderer = Renderer(cfg, P, occ_cfg)
+    def make_renderer(budget):
+        P = types.SimpleNamespace(
+            ray_samples=args.ray_samples, chunk_points=args.chunk_points,
+            bg_color_default="white", occ_s_max=args.occ_s_max,
+            occ_s_kept=args.occ_s_kept, use_amp=True,
+            occ_budget_per_ray=budget,
+        )
+        return Renderer(cfg, P, occ_cfg)
+
+    renderer = make_renderer(0)
 
     # overhead camera looking down (+x is Down in DRB)
     c2w = np.array(
@@ -88,7 +93,10 @@ def main(argv=None):
     intr = np.array([fy, fy, W / 2, H / 2], np.float32)
 
     out = {}
-    for regime, use_occ in (("occ", True), ("stratified", False)):
+    regimes = [("occ", True, 0), ("occ_budget", True, args.occ_budget_per_ray),
+               ("stratified", False, 0)]
+    for regime, use_occ, budget in regimes:
+        renderer = make_renderer(budget)
         # warm / compile
         renderer.render_image(
             variables, occ_states, H=H, W=W, intrinsics=intr, c2w=c2w,

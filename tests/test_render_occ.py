@@ -184,3 +184,21 @@ def test_budget_march_overflow_drops_tail():
     v = np.asarray(out["valid"])
     g = np.asarray(out["gpos"])
     assert (g[v] < B).all() and (g[v] >= 0).all()
+
+
+def test_container_budget_matches_per_ray():
+    """render_rays_occ_budget == render_rays_occ(s_kept=s_max) when the
+    budget covers every valid sample (same bins, no drops, no stride)."""
+    from acn_tpu.nerfs.render_occ import render_rays_occ_budget
+
+    cfg, variables, occ_cfg, occ_states = setup_scene(K=2)
+    rays = rays_through(8)
+    rgb_a, depth_a, _, acc_a = render_rays_occ(
+        variables, occ_states, cfg, occ_cfg, rays, s_max=64, s_kept=64,
+    )
+    rgb_b, depth_b, _, acc_b = render_rays_occ_budget(
+        variables, occ_states, cfg, occ_cfg, rays, s_max=64,
+        budget_per_ray=64,
+    )
+    np.testing.assert_allclose(np.asarray(rgb_b), np.asarray(rgb_a), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(acc_b), np.asarray(acc_a), atol=1e-5)
