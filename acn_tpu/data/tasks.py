@@ -32,7 +32,6 @@ and are still ray-disjoint between support and query whenever the pool allows.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
