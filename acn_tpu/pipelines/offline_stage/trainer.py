@@ -134,6 +134,12 @@ def meta_trainer(
     train_step, eval_step = build_steps(occ_ready)
     occ_update = make_occ_update_fn(cfg, occ_cfg) if use_occ else None
 
+    if occ_ready and occ_states is not None and use_occ:
+        # resuming past warmup with freshly premarked (empty) grids: refresh
+        # from the restored densities now or the first steps render nothing
+        key_occ0 = jax.random.PRNGKey(P.seed + 77)
+        occ_states = occ_update(state["variables"], occ_states, key_occ0)
+
     if mesh is not None:
         state = shard_by_expert_axis(state, mesh, K)
         occ_states = shard_by_expert_axis(occ_states, mesh, K)
@@ -151,12 +157,29 @@ def meta_trainer(
     profile_steps = int(getattr(P, "profile_steps", 3) or 3)
     profiling = False
 
+    # graceful shutdown: SIGTERM/SIGINT finish the current step, save the
+    # full 'last' checkpoint (incl. occupancy states), then return
+    stop_requested = {"flag": False}
+
+    def _request_stop(signum, frame):
+        stop_requested["flag"] = True
+        logger.log(f"[trainer] signal {signum} → finishing step and saving")
+
+    import signal as _signal
+
+    prev_handlers = {}
+    for sig in (_signal.SIGTERM, _signal.SIGINT):
+        try:
+            prev_handlers[sig] = _signal.signal(sig, _request_stop)
+        except (ValueError, OSError):  # non-main thread
+            pass
+
     step = start_step
     t_loop = time.perf_counter()
     rays_per_step = (
         K * P.batch_size * (P.support_rays * P.inner_iter + P.query_rays)
     )
-    while step < P.outer_steps:
+    while step < P.outer_steps and not stop_requested["flag"]:
         if device_pools is not None:
             batch = device_pools  # sampling fused into the jitted step
         else:
@@ -262,6 +285,8 @@ def meta_trainer(
         opt_state=state["opt_state"], occ_states=occ_states if use_occ else None,
         P=P, step=step, best=best,
     )
+    for sig, h in prev_handlers.items():
+        _signal.signal(sig, h)
     logger.log(f"training complete at step {step}; best eval PSNR {best:.3f}")
     state["occ_states"] = occ_states
     return state
