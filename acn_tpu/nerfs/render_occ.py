@@ -85,6 +85,46 @@ def render_expert_occ(
     return rgb_map, depth, weights, acc
 
 
+
+def _any_expert_valid_fn(occ_states, expert_aabbs):
+    """(N, S, 3) → (N, S): a sample is valid if ANY expert's
+    (AABB ∩ occupancy) claims it — the implicit segment union."""
+
+    def any_expert_valid(x):
+        def one(state_k, aabb_k):
+            inside = sbox.within(aabb_k, x, inclusive=False)
+            return inside & occ_grid.occupancy_lookup(state_k, x)
+
+        per_k = jax.vmap(one)(occ_states, expert_aabbs)  # (K, N, S)
+        return jnp.any(per_k, axis=0)
+
+    return any_expert_valid
+
+
+def _soft_moe_eval(variables, cfg, xd, params_override=None):
+    """Dense per-expert evaluation + σ-weighted soft blend at flat points
+    (reference ray_rendering.py:436-475). xd (M, 6) → (σ_mix (M,), rgb_mix
+    (M, 3))."""
+    bufs = variables["buffers"]
+    expert_aabbs = bufs["expert_aabbs"]
+    w = cont.routing_weights(
+        bufs["centroids"], xd[:, :3], cfg.cluster_2d, cfg.boundary_margin
+    )  # (M, K)
+    experts = (
+        params_override if params_override is not None
+        else variables["params"]["experts"]
+    )
+    fwd = cfg.expert_forward
+    outs = jax.vmap(lambda p, ab: fwd(p, cfg.expert, ab, xd))(
+        experts, expert_aabbs
+    )  # (K, M, 4)
+    SIG = outs[..., 3].T  # (M, K)
+    RGB = jnp.moveaxis(outs[..., :3], 0, 1)  # (M, K, 3)
+    w = w.astype(SIG.dtype)
+    s_num = jnp.maximum(jnp.sum(w * SIG, axis=1, keepdims=True), 1e-12)
+    return s_num[:, 0], jnp.sum(w[..., None] * SIG[..., None] * RGB, axis=1) / s_num
+
+
 def render_rays_occ_budget(
     variables: Dict[str, Any],
     occ_states: Dict[str, Any],  # stacked (K, ...) occupancy states
@@ -108,15 +148,7 @@ def render_rays_occ_budget(
     Returns (rgb_map, depth, weights (N, s_max), acc).
     """
     bufs = variables["buffers"]
-    expert_aabbs = bufs["expert_aabbs"]  # (K, 2, 3)
-
-    def any_expert_valid(x):  # (N, S, 3) → (N, S) bool
-        def one(state_k, aabb_k):
-            inside = sbox.within(aabb_k, x, inclusive=False)
-            return inside & occ_grid.occupancy_lookup(state_k, x)
-
-        per_k = jax.vmap(one)(occ_states, expert_aabbs)
-        return jnp.any(per_k, axis=0)
+    any_expert_valid = _any_expert_valid_fn(occ_states, bufs["expert_aabbs"])
 
     # dummy always-on grid over the GLOBAL aabb drives the schedule (its own
     # lookup must never cull — validity comes from the per-expert union)
@@ -134,24 +166,7 @@ def render_rays_occ_budget(
     )
 
     xd = samples["xd"]  # (B, 6)
-    flat_x = xd[:, :3]
-    w = cont.routing_weights(
-        bufs["centroids"], flat_x, cfg.cluster_2d, cfg.boundary_margin
-    )  # (B, K)
-    experts = (
-        params_override if params_override is not None
-        else variables["params"]["experts"]
-    )
-    fwd = cfg.expert_forward
-    outs = jax.vmap(lambda p, ab: fwd(p, cfg.expert, ab, xd))(
-        experts, expert_aabbs
-    )  # (K, B, 4)
-    SIG = outs[..., 3].T  # (B, K)
-    RGB = jnp.moveaxis(outs[..., :3], 0, 1)  # (B, K, 3)
-    w = w.astype(SIG.dtype)
-    s_num = jnp.maximum(jnp.sum(w * SIG, axis=1, keepdims=True), 1e-12)
-    sigma_mix = s_num[:, 0]  # (B,)
-    rgb_mix = jnp.sum(w[..., None] * SIG[..., None] * RGB, axis=1) / s_num
+    sigma_mix, rgb_mix = _soft_moe_eval(variables, cfg, xd, params_override)
 
     B = xd.shape[0]
     idx = jnp.clip(samples["gpos"], 0, B - 1)
@@ -192,18 +207,9 @@ def render_rays_occ(
     Returns (rgb_map, depth, weights (N, s_kept), acc).
     """
     bufs = variables["buffers"]
-    expert_aabbs = bufs["expert_aabbs"]  # (K, 2, 3)
-    K = expert_aabbs.shape[0]
-
     # Shared t-schedule over the global near/far; a candidate sample is valid
     # if ANY expert's (AABB ∩ occupancy) claims it.
-    def any_expert_valid(x):  # (N, S, 3) → (N, S) bool
-        def one(state_k, aabb_k):
-            inside = sbox.within(aabb_k, x, inclusive=False)
-            return inside & occ_grid.occupancy_lookup(state_k, x)
-
-        per_k = jax.vmap(one)(occ_states, expert_aabbs)  # (K, N, S)
-        return jnp.any(per_k, axis=0)
+    any_expert_valid = _any_expert_valid_fn(occ_states, bufs["expert_aabbs"])
 
     o, d = rays[:, :3], rays[:, 3:6]
     near = jnp.maximum(rays[:, 6], occ_cfg.near_plane)
@@ -229,28 +235,9 @@ def render_rays_occ(
     xk = jnp.take_along_axis(x_all, idx[..., None], axis=1)  # (N, S, 3)
     dk = jnp.broadcast_to(d[:, None, :], xk.shape)
 
-    # soft routing weights at midpoints (reference ray_rendering.py:436-443)
-    flat_x = xk.reshape(-1, 3)
-    w = cont.routing_weights(
-        bufs["centroids"], flat_x, cfg.cluster_2d, cfg.boundary_margin
-    )  # (M, K)
-
-    # dense per-expert eval (vmap over K), then σ-weighted blend
+    # soft routing + dense per-expert eval + σ-weighted blend at midpoints
     xd = jnp.concatenate([xk, dk], axis=-1).reshape(-1, 6)
-    experts = (
-        params_override if params_override is not None else variables["params"]["experts"]
-    )
-    fwd = cfg.expert_forward
-    outs = jax.vmap(lambda p, ab: fwd(p, cfg.expert, ab, xd))(
-        experts, expert_aabbs
-    )  # (K, M, 4)
-    SIG = outs[..., 3].T  # (M, K)
-    RGB = jnp.moveaxis(outs[..., :3], 0, 1)  # (M, K, 3)
-
-    w = w.astype(SIG.dtype)
-    s_num = jnp.maximum(jnp.sum(w * SIG, axis=1, keepdims=True), 1e-12)  # (M, 1)
-    sigma_mix = s_num[:, 0]
-    rgb_mix = jnp.sum(w[..., None] * SIG[..., None] * RGB, axis=1) / s_num
+    sigma_mix, rgb_mix = _soft_moe_eval(variables, cfg, xd, params_override)
 
     N, S = xk.shape[0], xk.shape[1]
     sigmas = sigma_mix.reshape(N, S)
