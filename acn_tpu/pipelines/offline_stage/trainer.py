@@ -273,9 +273,12 @@ def meta_trainer(
                 logger.log(f"[ckpt] new best ({best:.3f}) save queued")
 
         if step % P.save_step == 0:
+            # params-only: an on-device params+optimizer snapshot (~3× the
+            # model) tips HBM over at training's peak; the final 'last'
+            # save (blocking, post-loop) carries the optimizer for resume
             ckpt.save(
                 logger.logdir, f"step{step}", state["variables"],
-                opt_state=state["opt_state"], occ_states=None,
+                opt_state=None, occ_states=None,
                 P=P, step=step, best=best,
             )
 
