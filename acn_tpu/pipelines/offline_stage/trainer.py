@@ -147,6 +147,7 @@ def meta_trainer(
             device_pools = shard_by_expert_axis(device_pools, mesh, K)
 
     metric_log = MetricLogger()
+    logger.add_region_layout(K)
     timer = PhaseTimer()
     ckpt = AsyncCheckpointer()  # saves run off the training path
     key = jax.random.PRNGKey(P.seed)

@@ -58,6 +58,25 @@ class Logger:
         for k, v in values.items():
             self.scalar(f"{prefix}/{k}", v, step)
 
+    def add_region_layout(self, num_regions: int) -> None:
+        """TensorBoard custom-scalars layout grouping per-region curves into
+        multiline charts (reference Logger layouts, utils.py:105-169)."""
+        if self._writer is None:
+            return
+        try:
+            layout = {
+                "per-region": {
+                    metric: [
+                        "Multiline",
+                        [f"train/{metric}/region_{r}" for r in range(num_regions)],
+                    ]
+                    for metric in ("psnr_out", "loss_out")
+                }
+            }
+            self._writer.add_custom_scalars(layout)
+        except Exception:
+            pass
+
     def image(self, name: str, img, step: int) -> None:
         """img: (H, W, 3) float [0,1] or uint8."""
         if self._writer is not None:
@@ -124,6 +143,23 @@ class MetricLogger:
 
     def __str__(self):
         return self.delimiter.join(f"{n}: {m}" for n, m in self.meters.items())
+
+    def synchronize_between_processes(self) -> None:
+        """All-reduce counts/totals across hosts so global_avg is the true
+        multi-host mean (reference MetricLogger dist sync, utils.py:386-397,
+        torch.distributed all_reduce → jax psum over processes)."""
+        import jax
+
+        if jax.process_count() <= 1:
+            return
+        import jax.numpy as jnp
+        from jax.experimental import multihost_utils
+
+        for m in self.meters.values():
+            arr = jnp.asarray([float(m.count), float(m.total)])
+            summed = multihost_utils.process_allgather(arr).sum(axis=0)
+            m.count = int(summed[0])
+            m.total = float(summed[1])
 
 
 class PhaseTimer:
