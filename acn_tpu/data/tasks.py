@@ -89,9 +89,18 @@ def route_rays_to_cells(
     # millions of rays; shipping 8 MB chunks through the remote-TPU tunnel
     # per 262k rays proved both slower and fragile (wedged RPCs), while a
     # vectorized float32 numpy pass does the whole sweep in seconds.
+    # Results disk-cache by content fingerprint (restarts via the training
+    # supervisor re-route identical ray stores).
     C = len(cells)
     N = len(rays)
     cells_np = np.asarray(cells, np.float32)  # (C, 2, 3)
+
+    cache_path = _route_cache_path(rays, cells_np, min_overlap)
+    if cache_path is not None and cache_path.exists():
+        cached = np.load(cache_path)["cell_ids"]
+        if len(cached) == N:
+            return cached
+
     out = np.empty(N, np.int32)
     for s in range(0, N, chunk):
         e = min(s + chunk, N)
@@ -111,7 +120,37 @@ def route_rays_to_cells(
         best = overlap.argmax(axis=1).astype(np.int32)
         best_val = np.take_along_axis(overlap, best[:, None], axis=1)[:, 0]
         out[s:e] = np.where(best_val <= min_overlap, -1, best)
+
+    if cache_path is not None:
+        try:
+            cache_path.parent.mkdir(parents=True, exist_ok=True)
+            np.savez_compressed(cache_path, cell_ids=out)
+        except OSError:
+            pass
     return out
+
+
+def _route_cache_path(rays, cells_np, min_overlap):
+    """Content-fingerprinted cache file for a routing result (strided sample
+    + shape + exact cell grid — collisions practically impossible)."""
+    import hashlib
+    import os
+    from pathlib import Path
+
+    try:
+        r = np.ascontiguousarray(rays, np.float32)
+        stride = max(r.size // 1_000_000, 1)
+        h = hashlib.sha1()
+        h.update(str((r.shape, float(min_overlap))).encode())
+        h.update(r.reshape(-1)[::stride].tobytes())
+        h.update(np.float64(r.sum()).tobytes())
+        h.update(cells_np.tobytes())
+        root = Path(os.environ.get(
+            "ACN_TPU_CACHE", os.path.expanduser("~/.cache/acn_tpu")
+        )) / "routes"
+        return root / f"{h.hexdigest()[:16]}.npz"
+    except Exception:
+        return None
 
 
 @dataclass

@@ -158,6 +158,29 @@ def meta_trainer(
     profile_steps = int(getattr(P, "profile_steps", 3) or 3)
     profiling = False
 
+    # stall watchdog: the remote-TPU tunnel occasionally wedges a transfer
+    # forever (no timeout surfaces). If no loop progress for
+    # --watchdog_timeout seconds, hard-exit with code 42 so a supervisor can
+    # relaunch with --checkpoint_path resume. 0 disables.
+    watchdog_timeout = float(getattr(P, "watchdog_timeout", 900) or 0)
+    progress = {"t": time.monotonic(), "step": start_step}
+    if watchdog_timeout > 0:
+        import os as _os
+        import threading as _threading
+
+        def _watchdog():
+            while True:
+                time.sleep(30.0)
+                if time.monotonic() - progress["t"] > watchdog_timeout:
+                    print(
+                        f"[watchdog] no progress past step {progress['step']} "
+                        f"for {watchdog_timeout:.0f}s — exiting 42 for resume",
+                        flush=True,
+                    )
+                    _os._exit(42)
+
+        _threading.Thread(target=_watchdog, daemon=True).start()
+
     # graceful shutdown: SIGTERM/SIGINT finish the current step, save the
     # full 'last' checkpoint (incl. occupancy states), then return
     stop_requested = {"flag": False}
@@ -199,6 +222,8 @@ def meta_trainer(
         timer.tic("step")
         state, metrics = train_step(state, batch, occ_states, k_step)
         step += 1
+        progress["t"] = time.monotonic()
+        progress["step"] = step
         # sync only on logging steps: device_get blocks on the full step chain
         # (and the remote-TPU tunnel adds a round trip per sync)
         will_log = step % P.print_step == 0 or step == 1

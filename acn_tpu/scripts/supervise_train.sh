@@ -1,0 +1,44 @@
+#!/usr/bin/env bash
+# Supervised training with auto-resume.
+#
+# Wraps `nerf_runner.py --op train`, relaunching on the trainer watchdog's
+# exit code 42 (wedged remote transfer) or any crash, resuming from the
+# newest checkpoint under logs/<fname>*. Normal completion (exit 0) stops.
+#
+# Usage: scripts/supervise_train.sh <fname> [nerf_runner args...]
+set -u
+FNAME="$1"; shift
+
+latest_ckpt() {
+  # newest run dir for this fname that contains a *.model, and its best tag:
+  # prefer the highest stepN, else 'best', else 'last'
+  local dir tag
+  dir=$(ls -dt logs/${FNAME}* 2>/dev/null | while read -r d; do
+          ls "$d"/*.model >/dev/null 2>&1 && { echo "$d"; break; }
+        done)
+  [ -z "${dir:-}" ] && return 1
+  tag=$(ls "$dir" | grep -oE '^step[0-9]+' | sort -t p -k2 -n | tail -1)
+  [ -z "$tag" ] && { [ -f "$dir/best.model" ] && tag=best || tag=last; }
+  echo "$dir" "$tag"
+}
+
+attempt=0
+while :; do
+  attempt=$((attempt + 1))
+  resume=()
+  if ck=$(latest_ckpt); then
+    set -- $ck
+    resume=(--checkpoint_path "$1" --prefix "$2")
+    echo "[supervisor] attempt $attempt: resuming from $1/$2"
+  else
+    echo "[supervisor] attempt $attempt: fresh start"
+  fi
+  python -u nerf_runner.py --op train --fname "$FNAME" "${resume[@]}" "$@"
+  code=$?
+  if [ $code -eq 0 ]; then
+    echo "[supervisor] training completed"
+    exit 0
+  fi
+  echo "[supervisor] exited with $code — relaunching in 15s"
+  sleep 15
+done

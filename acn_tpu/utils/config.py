@@ -34,6 +34,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="capture a jax.profiler trace starting at this "
                              "step (0 = off)")
     parser.add_argument("--profile_steps", type=int, default=3)
+    parser.add_argument("--watchdog_timeout", type=float, default=900,
+                        help="hard-exit(42) if no training-loop progress for "
+                             "this many seconds (wedged remote transfers); "
+                             "0 disables. Pair with scripts/supervise_train.sh "
+                             "for auto-resume. Raise on cold compile caches")
     # multi-host (pod) coordination; unset ⇒ single-process
     parser.add_argument("--coordinator_address", type=str, default=None)
     parser.add_argument("--process_id", type=int, default=None)
