@@ -27,9 +27,9 @@ while :; do
   attempt=$((attempt + 1))
   resume=()
   if ck=$(latest_ckpt); then
-    set -- $ck
-    resume=(--checkpoint_path "$1" --prefix "$2")
-    echo "[supervisor] attempt $attempt: resuming from $1/$2"
+    read -r ck_dir ck_tag <<<"$ck"
+    resume=(--checkpoint_path "$ck_dir" --prefix "$ck_tag")
+    echo "[supervisor] attempt $attempt: resuming from $ck_dir/$ck_tag"
   else
     echo "[supervisor] attempt $attempt: fresh start"
   fi
