@@ -128,7 +128,15 @@ def meta_trainer(
             tr = jax.jit(fused, donate_argnums=(0,))
         else:
             tr = jax.jit(base_step, donate_argnums=(0,))
-        ev = jax.jit(make_eval_step(cfg, P, oc))
+        # Mid-train eval renders STRATIFIED by default even after the occ
+        # switch: our occ marching is a fixed-quadrature estimator (s_kept
+        # samples), which under-reads PSNR as the field sharpens — the
+        # reference's nerfacc eval marches adaptively and has no such bias
+        # (meta_ngp.py:389-443), so a dense stratified eval is the faithful
+        # measurement analogue. --eval_render dispatch restores literal
+        # parity (eval through whatever the train step renders with).
+        eval_oc = oc if getattr(P, "eval_render", "stratified") == "dispatch" else None
+        ev = jax.jit(make_eval_step(cfg, P, eval_oc))
         return tr, ev
 
     train_step, eval_step = build_steps(occ_ready)
