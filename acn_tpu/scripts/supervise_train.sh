@@ -17,8 +17,14 @@ latest_ckpt() {
           ls "$d"/*.model >/dev/null 2>&1 && { echo "$d"; break; }
         done)
   [ -z "${dir:-}" ] && return 1
-  tag=$(ls "$dir" | grep -oE '^step[0-9]+' | sort -t p -k2 -n | tail -1)
-  [ -z "$tag" ] && { [ -f "$dir/best.model" ] && tag=best || tag=last; }
+  # 'last' (graceful shutdown: params + optimizer + occ grids) beats the
+  # highest stepN (params-only), which beats 'best'
+  if [ -f "$dir/last.model" ]; then
+    tag=last
+  else
+    tag=$(ls "$dir" | grep -oE '^step[0-9]+' | sort -t p -k2 -n | tail -1)
+    [ -z "$tag" ] && { [ -f "$dir/best.model" ] && tag=best || return 1; }
+  fi
   echo "$dir" "$tag"
 }
 
