@@ -128,14 +128,13 @@ def meta_trainer(
             tr = jax.jit(fused, donate_argnums=(0,))
         else:
             tr = jax.jit(base_step, donate_argnums=(0,))
-        # Mid-train eval renders STRATIFIED by default even after the occ
-        # switch: our occ marching is a fixed-quadrature estimator (s_kept
-        # samples), which under-reads PSNR as the field sharpens — the
-        # reference's nerfacc eval marches adaptively and has no such bias
-        # (meta_ngp.py:389-443), so a dense stratified eval is the faithful
-        # measurement analogue. --eval_render dispatch restores literal
-        # parity (eval through whatever the train step renders with).
-        eval_oc = oc if getattr(P, "eval_render", "stratified") == "dispatch" else None
+        # Mid-train eval defaults to the train renderer ('dispatch',
+        # reference ray_rendering.py:564-574): past the warmup switch the occ
+        # path samples 256 occupancy-concentrated bins per ray — finer where
+        # surfaces are — and reads ~3 dB higher on a sharp field than 96
+        # uniform stratified samples. --eval_render stratified pins one
+        # instrument across the switch instead.
+        eval_oc = oc if getattr(P, "eval_render", "dispatch") == "dispatch" else None
         ev = jax.jit(make_eval_step(cfg, P, eval_oc))
         return tr, ev
 
