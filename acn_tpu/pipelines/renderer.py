@@ -136,6 +136,49 @@ class Renderer:
         self._jitted[key_] = fn
         return fn
 
+    def _frame_chunk_fn(self, use_occ: bool, active_module: Optional[int],
+                        W: int, rows: int, ray_samples: Optional[int]):
+        """Jitted frame-chunk renderer that GENERATES ITS RAYS ON DEVICE.
+
+        Full-frame rendering through the remote-TPU tunnel was upload-bound:
+        shipping packed rays costs 32 B/pixel (~66 MB for one 1080p frame,
+        minutes at tunnel bandwidth). Generating pinhole rays from the pose
+        inside the jitted chunk uploads 12 floats per frame instead — the
+        camera → rays → march → composite pipeline fuses into one XLA
+        program (nothing the reference can do: its ray gen is torch on host,
+        ray_sampling.py:111-136).
+        """
+        key_ = ("frame", use_occ, active_module, W, rows,
+                int(ray_samples or self.P.ray_samples))
+        if key_ in self._jitted:
+            return self._jitted[key_]
+
+        base = self._chunk_fn(use_occ, active_module, False, ray_samples)
+
+        def frame_chunk(variables, occ_states, c2w, intr, aabb, nf, row0, key):
+            fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
+            j = (row0 + jnp.arange(rows, dtype=jnp.float32))[:, None] + 0.5
+            i = jnp.arange(W, dtype=jnp.float32)[None, :] + 0.5
+            j = jnp.broadcast_to(j, (rows, W))
+            i = jnp.broadcast_to(i, (rows, W))
+            dirs = jnp.stack(
+                [(i - cx) / fx, -(j - cy) / fy, -jnp.ones_like(i)], axis=-1
+            )
+            dirs = dirs / jnp.clip(
+                jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12
+            )
+            rays = raylib.get_rays(dirs.reshape(-1, 3), c2w, aabb=aabb)
+            near = jnp.maximum(rays[:, 6], nf[0])
+            far = jnp.minimum(rays[:, 7], nf[1])
+            valid = jnp.isfinite(near) & jnp.isfinite(far) & (far > near + 1e-6)
+            rays = rays.at[:, 6].set(jnp.where(valid, near, 0.0))
+            rays = rays.at[:, 7].set(jnp.where(valid, far, -1.0))  # inert
+            return base(variables, occ_states, rays, key)
+
+        fn = jax.jit(frame_chunk)
+        self._jitted[key_] = fn
+        return fn
+
     # ---------------- public API ----------------
 
     def render_rays(
@@ -204,26 +247,38 @@ class Renderer:
         near_far_override=None,
         ray_samples: Optional[int] = None,
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """Full-frame render (reference render_image, ray_rendering.py:577-627).
-        Returns (rgb (H,W,3) linear [0,1], depth (H·W,), acc (H·W,))."""
-        from acn_tpu.data.ray_prep import (
-            clamp_rays_near_far_np,
-            get_ray_directions_np,
-            get_rays_np,
-        )
+        """Full-frame render (reference render_image, ray_rendering.py:577-627),
+        generating rays ON DEVICE (12-float pose upload per frame — see
+        _frame_chunk_fn). Returns (rgb (H,W,3) linear [0,1], depth (H·W,),
+        acc (H·W,))."""
+        use_occ = (self.occ_cfg is not None) if use_occ is None else use_occ
+        rows = max(self.chunk_rays // W, 1)
+        fn = self._frame_chunk_fn(use_occ, active_module, W, rows, ray_samples)
 
-        fx, fy, cx, cy = [float(v) for v in intrinsics[:4]]
-        dirs = get_ray_directions_np(H, W, fx, fy, cx, cy, center_pixels=True)
-        rays = get_rays_np(dirs, np.asarray(c2w, np.float32), aabb=np.asarray(aabb))
-        rays = rays.reshape(-1, 8)
-        rays, valid = clamp_rays_near_far_np(rays, near_far_override)
-        rays = np.where(np.isfinite(rays), rays, 0.0).astype(np.float32)
-        rays[~valid, 7] = -1.0  # inert
-
-        rgb, depth, acc = self.render_rays(
-            variables, occ_states, rays, key=key,
-            use_occ=use_occ, active_module=active_module,
-            ray_samples=ray_samples,
+        c2w_j = jnp.asarray(np.asarray(c2w, np.float32))
+        intr_j = jnp.asarray(np.asarray(intrinsics[:4], np.float32))
+        aabb_j = jnp.asarray(np.asarray(aabb, np.float32))
+        n_o, f_o = (near_far_override or (None, None))
+        nf_j = jnp.asarray(
+            [n_o if n_o is not None else -np.inf,
+             f_o if f_o is not None else np.inf], jnp.float32
         )
-        rgb = np.clip(rgb, 0.0, 1.0).reshape(H, W, 3)
-        return rgb, depth, acc
+        key = key if key is not None else jax.random.PRNGKey(0)
+
+        rgb_out = np.zeros((H * W, 3), np.float32)
+        depth_out = np.zeros((H * W,), np.float32)
+        acc_out = np.zeros((H * W,), np.float32)
+        pending = []
+        for r0 in range(0, H, rows):  # dispatch all chunks, sync once
+            key, k = jax.random.split(key)
+            pending.append(
+                (r0, fn(variables, occ_states, c2w_j, intr_j, aabb_j, nf_j,
+                        jnp.float32(r0), k))
+            )
+        for r0, (rgb, depth, acc, _, _) in pending:
+            s, e = r0 * W, min((r0 + rows) * W, H * W)
+            rgb_out[s:e] = np.asarray(rgb)[: e - s]
+            depth_out[s:e] = np.asarray(depth)[: e - s]
+            acc_out[s:e] = np.asarray(acc)[: e - s]
+        rgb = np.clip(rgb_out, 0.0, 1.0).reshape(H, W, 3)
+        return rgb, depth_out, acc_out
