@@ -158,12 +158,16 @@ def main():
     occ_rps = rays_per_step / dt_occ
 
     # ---- occupancy + global cross-ray sample budget (32 evals/ray avg) ----
-    P_budget = types.SimpleNamespace(**{**vars(P), "occ_budget_per_ray": 32})
-    step_budget = jax.jit(
-        make_meta_train_step(cfg, P_budget, opt, occ_cfg), donate_argnums=(0,)
-    )
-    dt_budget = _bench_step(step_budget, fresh_state(), batch, occ_states)
-    budget_rps = rays_per_step / dt_budget
+    try:
+        P_budget = types.SimpleNamespace(**{**vars(P), "occ_budget_per_ray": 32})
+        step_budget = jax.jit(
+            make_meta_train_step(cfg, P_budget, opt, occ_cfg),
+            donate_argnums=(0,),
+        )
+        dt_budget = _bench_step(step_budget, fresh_state(), batch, occ_states)
+        budget_rps = rays_per_step / dt_budget
+    except Exception:
+        dt_budget, budget_rps = float("inf"), 0.0
 
     best_rps = max(occ_rps, budget_rps)
     print(
