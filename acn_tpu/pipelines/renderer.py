@@ -173,7 +173,12 @@ class Renderer:
             valid = jnp.isfinite(near) & jnp.isfinite(far) & (far > near + 1e-6)
             rays = rays.at[:, 6].set(jnp.where(valid, near, 0.0))
             rays = rays.at[:, 7].set(jnp.where(valid, far, -1.0))  # inert
-            return base(variables, occ_states, rays, key)
+            rgb, depth, acc, _, _ = base(variables, occ_states, rays, key)
+            # compact outputs: download bandwidth is the frame-rate limit on
+            # the remote tunnel (6 f32/pixel ≈ 11 MB per 512×384 view) —
+            # quantize to u8 rgb + f16 depth/acc (5 B/pixel → 1 MB)
+            rgb_u8 = jnp.clip(jnp.round(rgb * 255.0), 0, 255).astype(jnp.uint8)
+            return rgb_u8, depth.astype(jnp.float16), acc.astype(jnp.float16)
 
         fn = jax.jit(frame_chunk)
         self._jitted[key_] = fn
@@ -275,10 +280,10 @@ class Renderer:
                 (r0, fn(variables, occ_states, c2w_j, intr_j, aabb_j, nf_j,
                         jnp.float32(r0), k))
             )
-        for r0, (rgb, depth, acc, _, _) in pending:
+        for r0, (rgb_u8, depth, acc) in pending:
             s, e = r0 * W, min((r0 + rows) * W, H * W)
-            rgb_out[s:e] = np.asarray(rgb)[: e - s]
-            depth_out[s:e] = np.asarray(depth)[: e - s]
-            acc_out[s:e] = np.asarray(acc)[: e - s]
+            rgb_out[s:e] = np.asarray(rgb_u8)[: e - s].astype(np.float32) / 255.0
+            depth_out[s:e] = np.asarray(depth)[: e - s].astype(np.float32)
+            acc_out[s:e] = np.asarray(acc)[: e - s].astype(np.float32)
         rgb = np.clip(rgb_out, 0.0, 1.0).reshape(H, W, 3)
         return rgb, depth_out, acc_out
