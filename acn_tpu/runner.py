@@ -209,14 +209,21 @@ def build_context(P, op: str) -> Dict[str, Any]:
     # checkpoint restore (model side)
     if getattr(P, "checkpoint_path", None):
         loaded = load_checkpoint(P.checkpoint_path, P.prefix)
-        ctx["variables"] = restore_variables_like(variables, loaded["variables"])
+        # device_put ONCE: msgpack restore yields numpy pytrees, and every
+        # jitted call re-uploads numpy args — at ~0.5 GB of params through
+        # the remote tunnel that made each render chunk cost minutes
+        ctx["variables"] = jax.device_put(
+            restore_variables_like(variables, loaded["variables"])
+        )
         ctx["step"] = loaded["step"]
         ctx["best"] = loaded["best"]
         if loaded.get("occ_states") is not None and occ_cfg is not None:
             template = jax.vmap(lambda ab: occ_grid.init_occ_state(ab, occ_cfg))(
                 jnp.asarray(expert_aabbs)
             )
-            ctx["occ_states"] = restore_variables_like(template, loaded["occ_states"])
+            ctx["occ_states"] = jax.device_put(
+                restore_variables_like(template, loaded["occ_states"])
+            )
 
     logger = Logger(P.fname, rank=getattr(P, "rank", 0))
     ctx["logger"] = logger
