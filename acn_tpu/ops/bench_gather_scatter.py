@@ -25,14 +25,33 @@ import time
 
 
 def _timed(fn, *args, iters=10):
-    import jax
+    """Time ``iters`` executions with ITERATION-DEPENDENT inputs.
 
-    out = fn(*args)
-    jax.block_until_ready(out)
+    Repeating an identical (fn, args) call on this remote backend gets
+    result-cached — a naive loop measured 15 TB/s of "HBM bandwidth"
+    (hardware peak is ~0.8). ``fn`` must take a trailing int salt that
+    perturbs its inputs; the loop runs inside one jitted lax.scan so
+    per-call tunnel latency doesn't pollute the measurement either.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def loop(_args):
+        def body(carry, i):
+            out = fn(*_args, i)
+            # fold a scalar of the output into the carry so nothing is DCE'd
+            leaf = out if not isinstance(out, tuple) else out[0]
+            return carry + leaf.reshape(-1)[0].astype(jnp.float32), None
+
+        acc, _ = jax.lax.scan(
+            body, jnp.float32(0.0), jnp.arange(iters)
+        )
+        return acc
+
+    looped = jax.jit(loop)
+    jax.block_until_ready(looped(args))  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    jax.block_until_ready(looped(args))
     return (time.perf_counter() - t0) / iters
 
 
@@ -57,35 +76,41 @@ def main():
         idx = jax.random.randint(jax.random.PRNGKey(1), (N,), 0, T)
         grads = jax.random.normal(jax.random.PRNGKey(2), (N, F))
 
-        gather = jax.jit(lambda t, i: t[i])
+        def gather(t, i, salt):
+            return t[(i + salt) % T]
+
         dt = _timed(gather, table, idx)
         results[f"gather_{tag}_Mrows_per_s"] = round(N / dt / 1e6, 1)
 
-        scatter = jax.jit(
-            lambda t, i, g: jnp.zeros_like(t).at[i].add(g)
-        )
+        def scatter(t, i, g, salt):
+            return jnp.zeros_like(t).at[(i + salt) % T].add(g)
+
         dt = _timed(scatter, table, idx, grads)
         results[f"scatter_add_{tag}_Mrows_per_s"] = round(N / dt / 1e6, 1)
 
         # one-hot matmul alternative (the only other primitive that can
         # express a random-row gather): flops = N·T·F per pass
         if T <= 2 ** 13:
-            onehot_gather = jax.jit(
-                lambda t, i: jax.nn.one_hot(i, T, dtype=jnp.bfloat16)
-                @ t.astype(jnp.bfloat16)
-            )
+            def onehot_gather(t, i, salt):
+                oh = jax.nn.one_hot((i + salt) % T, T, dtype=jnp.bfloat16)
+                return oh @ t.astype(jnp.bfloat16)
+
             dt = _timed(onehot_gather, table, idx, iters=3)
             results[f"onehot_gather_{tag}_Mrows_per_s"] = round(N / dt / 1e6, 1)
-            onehot_scatter = jax.jit(
-                lambda i, g: jax.nn.one_hot(i, T, dtype=jnp.bfloat16).T
-                @ g.astype(jnp.bfloat16)
-            )
+
+            def onehot_scatter(i, g, salt):
+                oh = jax.nn.one_hot((i + salt) % T, T, dtype=jnp.bfloat16)
+                return oh.T @ g.astype(jnp.bfloat16)
+
             dt = _timed(onehot_scatter, idx, grads, iters=3)
             results[f"onehot_scatter_{tag}_Mrows_per_s"] = round(N / dt / 1e6, 1)
 
     # streaming ceiling: elementwise read+write of N×F f32
     x = jax.random.normal(jax.random.PRNGKey(3), (N, 16))
-    stream = jax.jit(lambda a: a * 1.0001 + 0.1)
+
+    def stream(a, salt):
+        return a * 1.0001 + salt.astype(jnp.float32)
+
     dt = _timed(stream, x)
     results["stream_rw_GBps"] = round(2 * x.size * 4 / dt / 1e9, 1)
     results["stream_equiv_Mrows_per_s"] = round(N / dt / 1e6, 1)
