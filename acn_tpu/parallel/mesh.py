@@ -50,6 +50,12 @@ def maybe_init_distributed(P_args=None) -> bool:
         nproc = getattr(P_args, "num_processes", None) or nproc
     if coord is None and nproc is None:
         return False  # single-process
+    if coord is not None and (pid is None or nproc is None):
+        raise ValueError(
+            "Multi-host init needs all three of coordinator_address, "
+            f"process_id, num_processes — got coordinator_address={coord!r}, "
+            f"process_id={pid!r}, num_processes={nproc!r}"
+        )
     try:
         kwargs = {}
         if coord is not None:

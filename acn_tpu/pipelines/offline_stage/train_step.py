@@ -243,6 +243,14 @@ def _meta_grads_gradbased(
         k, k_ms, k_mq = jax.random.split(k, 3)
         smp_s = prep(occ_state, sr, k_ms)
         smp_q = prep(occ_state, qr, k_mq)
+        # budget-path overflow: fraction of valid samples dropped tail-first
+        # because the cross-ray budget was undersized — silent gradient bias
+        # unless surfaced (ADVICE r2)
+        ovf = sum(
+            s["overflow"]
+            for s in (smp_s, smp_q)
+            if isinstance(s, dict) and "overflow" in s
+        ) * 0.5
 
         if algo == "fomaml":
             # Explicit first-order meta-gradient: adapt WITHOUT building any
@@ -280,7 +288,7 @@ def _meta_grads_gradbased(
             q_loss, grads = jax.value_and_grad(q_loss_fn, argnums=argnums)(fast, bg)
             g_e = grads[0]
             g_b = grads[1] if has_bg else None
-            return q_loss, inner_losses, g_e, g_b
+            return q_loss, inner_losses, g_e, g_b, ovf
 
         def outer(ep, bp):
             sup = lambda p, b, kk: episode_loss(
@@ -299,7 +307,7 @@ def _meta_grads_gradbased(
         )(expert_p, bg)
         g_e = grads[0]
         g_b = grads[1] if has_bg else None
-        return q_loss, inner_losses, g_e, g_b
+        return q_loss, inner_losses, g_e, g_b, ovf
 
     def per_expert(expert_p, aabb, occ_state, sr, sg, qr, qg, ks):
         g_e0 = jax.tree.map(jnp.zeros_like, expert_p)
@@ -308,23 +316,23 @@ def _meta_grads_gradbased(
         def body(carry, xs):
             g_e_acc, g_b_acc = carry
             sr_t, sg_t, qr_t, qg_t, k_t = xs
-            q_loss, inner_losses, g_e, g_b = task_grad(
+            q_loss, inner_losses, g_e, g_b, ovf = task_grad(
                 expert_p, aabb, occ_state, sr_t, sg_t, qr_t, qg_t, k_t
             )
             g_e_acc = jax.tree.map(jnp.add, g_e_acc, g_e)
             if has_bg:
                 g_b_acc = jax.tree.map(jnp.add, g_b_acc, g_b)
-            return (g_e_acc, g_b_acc), (q_loss, inner_losses)
+            return (g_e_acc, g_b_acc), (q_loss, inner_losses, ovf)
 
-        (g_e_sum, g_b_sum), (q_losses, inner_losses) = jax.lax.scan(
+        (g_e_sum, g_b_sum), (q_losses, inner_losses, ovfs) = jax.lax.scan(
             body, (g_e0, g_b0), (sr, sg, qr, qg, ks)
         )
         inv_t = 1.0 / T
         g_e_mean = jax.tree.map(lambda g: g * inv_t, g_e_sum)
         g_b_mean = jax.tree.map(lambda g: g * inv_t, g_b_sum) if has_bg else 0.0
-        return q_losses, inner_losses, g_e_mean, g_b_mean
+        return q_losses, inner_losses, g_e_mean, g_b_mean, ovfs
 
-    q_losses, inner_losses, g_experts, g_bg_per_k = jax.vmap(per_expert)(
+    q_losses, inner_losses, g_experts, g_bg_per_k, ovfs = jax.vmap(per_expert)(
         experts,
         aabbs,
         occ_states,
@@ -340,7 +348,7 @@ def _meta_grads_gradbased(
     g_bg = (
         jax.tree.map(lambda g: jnp.sum(g, axis=0), g_bg_per_k) if has_bg else None
     )
-    return q_losses, inner_losses, g_experts, g_bg
+    return q_losses, inner_losses, g_experts, g_bg, jnp.mean(jnp.asarray(ovfs))
 
 
 def _fim_cfg_from(P):
@@ -517,7 +525,7 @@ def make_meta_train_step(
             variables = state["variables"]
             bufs = variables["buffers"]
 
-            q_losses, inner_losses, g_experts, g_bg = _meta_grads_gradbased(
+            q_losses, inner_losses, g_experts, g_bg, occ_overflow = _meta_grads_gradbased(
                 episode_loss, prep, algo, variables["params"], bufs, occ_states,
                 batch, key, inner_lr, inner_iter, fim_cfg=fim_cfg,
             )
@@ -545,6 +553,7 @@ def make_meta_train_step(
                 "psnr_in": psnr_from_mse(jnp.mean(loss_in_last, axis=1)),
                 "loss_total": loss,
                 "grad_norm": meta_core.global_grad_norm(grads),
+                "occ_overflow": occ_overflow,
             }
             return new_state, metrics
 
@@ -566,6 +575,11 @@ def make_meta_train_step(
                 k_in, k_q, k_ms, k_mq = jax.random.split(k, 4)
                 smp_s = prep(occ_state, sr, k_ms)
                 smp_q = prep(occ_state, qr, k_mq)
+                ovf = sum(
+                    s["overflow"]
+                    for s in (smp_s, smp_q)
+                    if isinstance(s, dict) and "overflow" in s
+                ) * 0.5
                 sup_loss = lambda p, b, kk: episode_loss(
                     p, bg, aabb, occ_state, b[0], b[1], kk, samples=smp_s
                 )
@@ -575,7 +589,7 @@ def make_meta_train_step(
                 q_loss = episode_loss(
                     fast, bg, aabb, occ_state, qr, qg, k_q, samples=smp_q
                 )
-                return fast, q_loss, inner_losses
+                return fast, q_loss, inner_losses, ovf
 
             def per_expert(expert_p, aabb, occ_state, sr, sg, qr, qg, ks):
                 # tasks sequential (one episode saturates the chip);
@@ -584,15 +598,15 @@ def make_meta_train_step(
 
                 def body(d_acc, xs):
                     sr_t, sg_t, qr_t, qg_t, k_t = xs
-                    fast, q_loss, inner_losses = per_task(
+                    fast, q_loss, inner_losses, ovf = per_task(
                         expert_p, aabb, occ_state, sr_t, sg_t, qr_t, qg_t, k_t
                     )
                     d_acc = jax.tree.map(
                         lambda a, f, w: a + (f - w), d_acc, fast, expert_p
                     )
-                    return d_acc, (q_loss, inner_losses)
+                    return d_acc, (q_loss, inner_losses, ovf)
 
-                d_sum, (q_losses, inner_losses) = jax.lax.scan(
+                d_sum, (q_losses, inner_losses, ovfs) = jax.lax.scan(
                     body, d0, (sr, sg, qr, qg, ks)
                 )
                 T = sr.shape[0]
@@ -600,9 +614,9 @@ def make_meta_train_step(
                     lambda d: jnp.where(jnp.isfinite(d), d, 0.0) / T, d_sum
                 )
                 new_p = jax.tree.map(lambda w, d: w + outer_lr * d, expert_p, delta)
-                return new_p, q_losses, inner_losses
+                return new_p, q_losses, inner_losses, ovfs
 
-            new_experts, q_losses, inner_losses = jax.vmap(per_expert)(
+            new_experts, q_losses, inner_losses, ovfs = jax.vmap(per_expert)(
                 experts,
                 aabbs,
                 occ_states,
@@ -628,6 +642,7 @@ def make_meta_train_step(
                 "psnr_in": psnr_from_mse(jnp.mean(loss_in_last, axis=1)),
                 "loss_total": jnp.sum(jnp.mean(q_losses, axis=1)),
                 "grad_norm": jnp.zeros(()),
+                "occ_overflow": jnp.mean(jnp.asarray(ovfs)),
             }
             return new_state, metrics
 

@@ -276,6 +276,14 @@ def meta_trainer(
                 logger.scalar(f"train/psnr_out/region_{r}", metrics["psnr_out"][r], step)
                 logger.scalar(f"train/loss_out/region_{r}", metrics["loss_out"][r], step)
             logger.scalar("train/grad_norm", metrics["grad_norm"], step)
+            ovf = float(metrics.get("occ_overflow", 0.0))
+            if ovf > 0:
+                logger.scalar("train/occ_budget_overflow", ovf, step)
+                if ovf > 0.05:
+                    logger.log(
+                        f"[occ] budget overflow {ovf:.1%} — valid samples are "
+                        "being dropped; raise --occ_budget_per_ray"
+                    )
 
         if test_sampler is not None and step % P.eval_step == 0:
             key, k_eval = jax.random.split(key)
@@ -306,13 +314,19 @@ def meta_trainer(
                 logger.log(f"[ckpt] new best ({best:.3f}) save queued")
 
         if step % P.save_step == 0:
-            # params-only: an on-device params+optimizer snapshot (~3× the
-            # model) tips HBM over at training's peak; the final 'last'
-            # save (blocking, post-loop) carries the optimizer for resume
+            # Full resume state: optimizer + occupancy grids ride along so a
+            # watchdog relaunch never silently resets Adam moments or the
+            # marched grids (round-2 quality runs resumed lossily several
+            # times per run). The 'step' coalesce key bounds pending
+            # snapshots to one — HBM stays flat even when the tunnel is slow;
+            # --save_optimizer 0 drops back to params-only if HBM is tight.
+            save_opt = bool(getattr(P, "save_optimizer", True))
             ckpt.save(
                 logger.logdir, f"step{step}", state["variables"],
-                opt_state=None, occ_states=None,
+                opt_state=state["opt_state"] if save_opt else None,
+                occ_states=occ_states if use_occ else None,
                 P=P, step=step, best=best,
+                coalesce_key="step",
             )
 
     ckpt.wait()  # drain queued async saves before the final blocking one

@@ -225,6 +225,15 @@ def runtime_evaluate(ctx: Dict[str, Any], tto: int) -> Dict[str, float]:
     from acn_tpu.models.lpips import get_lpips
 
     lpips_model = get_lpips()
+    # Never print random-weight LPIPS as if it were the official metric: with
+    # no pretrained AlexNet on this host the scores are not comparable to the
+    # reference's, so the 'lpips' column stays n/a and the run says why once.
+    lpips_ok = lpips_model is not None and lpips_model.pretrained
+    if not lpips_ok:
+        logger.log(
+            "[LPIPS] n/a — no pretrained AlexNet weights found; drop "
+            "lpips_alex.npz in (see acn_tpu/models/lpips.py) for official values"
+        )
     psnrs, ssims, lpipss = [], [], []
     for i, md in enumerate(test_meta):
         key, k = jax.random.split(key)
@@ -253,14 +262,14 @@ def runtime_evaluate(ctx: Dict[str, Any], tto: int) -> Dict[str, float]:
             np.asarray(pred_cs) if P.color_space == "srgb"
             else np.asarray(linear_to_srgb(jnp.asarray(rgb_pred)))
         )
-        if lpips_model is not None:
+        if lpips_ok:
             lpipss.append(float(lpips_model(pred_srgb, gt_srgb)))
 
         _to_png(out_pred / f"{i:06d}.png", pred_srgb)
         _to_png(out_gt / f"{i:06d}.png", gt_srgb)
         logger.log(
             f" * [IMG {i + 1}] PSNR {psnrs[-1]:.3f} | SSIM {ssims[-1]:.3f}"
-            + (f" | LPIPS {lpipss[-1]:.3f}" if lpipss else "")
+            + (f" | LPIPS {lpipss[-1]:.3f}" if lpips_ok else " | LPIPS n/a")
         )
 
     return {

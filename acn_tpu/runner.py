@@ -52,6 +52,7 @@ from acn_tpu.occupancy.grid import OccConfig
 from acn_tpu.parallel.mesh import make_mesh
 from acn_tpu.utils.checkpoint import (
     load_checkpoint,
+    load_checkpoint_with_fallback,
     load_opt_state,
     resolve_checkpoint_dir,
     restore_variables_like,
@@ -175,10 +176,14 @@ def build_context(P, op: str) -> Dict[str, Any]:
     coordinate_info = load_coordinates(data_path)
     global_aabb, expert_aabbs = load_scene_boxes(mask_dir)
 
-    # metric meters → normalized units (reference nerf_runner.py:91-95)
+    # metric meters → normalized units (reference nerf_runner.py:91-95);
+    # skipped when these values were restored from a checkpoint's P.json,
+    # which stores them post-normalization
     psf = coordinate_info["pose_scale_factor"]
-    P.near = P.near / psf if P.near is not None else None
-    P.far = P.far / psf if P.far is not None else None
+    if not getattr(P, "near_far_normalized", 0):
+        P.near = P.near / psf if P.near is not None else None
+        P.far = P.far / psf if P.far is not None else None
+        P.near_far_normalized = 1
 
     cfg = build_model_configs(P, clustering_params)
     occ_cfg = build_occ_config(P, psf)
@@ -206,9 +211,14 @@ def build_context(P, op: str) -> Dict[str, Any]:
         occ_states=None,
     )
 
-    # checkpoint restore (model side)
+    # checkpoint restore (model side); unreadable checkpoints (pre-atomic
+    # truncation) fall back to the next-older tag instead of crash-looping
+    # the supervisor
     if getattr(P, "checkpoint_path", None):
-        loaded = load_checkpoint(P.checkpoint_path, P.prefix)
+        loaded, tag_used = load_checkpoint_with_fallback(P.checkpoint_path, P.prefix)
+        if tag_used != P.prefix:
+            print(f"[ckpt] '{P.prefix}' unreadable — resumed from '{tag_used}'")
+            P.prefix = tag_used  # keep optimizer restore consistent
         # device_put ONCE: msgpack restore yields numpy pytrees, and every
         # jitted call re-uploads numpy args — at ~0.5 GB of params through
         # the remote tunnel that made each render chunk cost minutes

@@ -173,8 +173,12 @@ def main(argv=None):
     src = Path(args.src)
     sd = torch.load(src / f"{args.prefix}.model", map_location="cpu",
                     weights_only=True)
-    p_ns = torch.load(src / f"{args.prefix}.P", map_location="cpu",
-                      weights_only=False)
+    # the reference saves `torch.save(vars(P))` — a plain dict, not a
+    # Namespace (reference utils.py:262-302); normalize so field reads below
+    # see the checkpoint's real architecture instead of fallbacks
+    p_raw = torch.load(src / f"{args.prefix}.P", map_location="cpu",
+                       weights_only=False)
+    p_ns = argparse.Namespace(**p_raw) if isinstance(p_raw, dict) else p_raw
 
     # rebuild our config from the checkpoint's pinned architecture, corner
     # layout for bit-faithful hash parity
@@ -192,7 +196,7 @@ def main(argv=None):
         "--color_depth", str(int(getattr(p_ns, "color_depth", 2))),
         "--dim_hidden", str(int(getattr(p_ns, "dim_hidden", 64))),
         "--color_hidden", str(int(getattr(p_ns, "color_hidden", 64))),
-        "--log2_hashmap_size", str(int(getattr(p_ns, "log2_hashmap_size", 19))),
+        "--log2_hashmap_size", str(int(getattr(p_ns, "log2_hashmap_size", 20))),
         "--checkpoint_path", "",
         "--fname", "converted",
     ])

@@ -74,11 +74,13 @@ class AsyncCheckpointer:
 
     def save(self, run_dir, tag: str, variables, opt_state=None,
              occ_states=None, P=None, step: int = 0,
-             best: float = float("-inf"), is_best: bool = False) -> None:
+             best: float = float("-inf"), is_best: bool = False,
+             coalesce_key: Optional[str] = None) -> None:
         # The on-device copies live until the worker's device→host transfer
         # finishes (minutes on a slow tunnel) — keep them small or training
-        # itself OOMs: frequent 'best' saves snapshot params only; callers
-        # pass opt_state for the rarer step-tagged saves.
+        # itself OOMs: frequent 'best' saves snapshot params only; the rarer
+        # step-tagged saves carry the optimizer but coalesce under one queue
+        # key so at most one such snapshot is pending at a time.
         snap = lambda t: None if t is None else jax.tree.map(jnp_copy, t)
         try:
             job = dict(
@@ -89,7 +91,7 @@ class AsyncCheckpointer:
         except Exception as e:  # e.g. HBM exhausted — skip, don't kill training
             print(f"[ckpt] snapshot for '{tag}' failed ({e}); skipping save")
             return
-        key = f"{run_dir}/{tag}"
+        key = f"{run_dir}/{coalesce_key or tag}"
         with self._lock:
             fresh = key not in self._by_tag
             self._by_tag[key] = job  # latest wins; replaced copies free now
@@ -105,6 +107,19 @@ def jnp_copy(x):
     import jax.numpy as jnp
 
     return jnp.copy(x) if hasattr(x, "dtype") else x
+
+
+def _atomic_write(path: Path, data: bytes) -> None:
+    """Write-to-tmp + rename: a crash (or the watchdog's os._exit) mid-write
+    never leaves a truncated file under the final name — the resume scan
+    keys on ``{tag}.model`` presence, so a half-written checkpoint must not
+    be visible under that name."""
+    tmp = path.with_name(path.name + ".tmp")
+    with open(tmp, "wb") as f:
+        f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
 
 
 def save_checkpoint(
@@ -125,23 +140,34 @@ def save_checkpoint(
     payload = {"variables": _to_numpy_tree(variables)}
     if occ_states is not None and keep_occ_grids:
         payload["occ_states"] = _to_numpy_tree(occ_states)
-    # canonical state-dict form (lists → {"0": …}) so restore-with-template
-    # (from_state_dict) round-trips any pytree shape
-    with open(run_dir / f"{tag}.model", "wb") as f:
-        f.write(serialization.msgpack_serialize(serialization.to_state_dict(payload)))
 
+    # Sidecars land before the .model rename: the resume scan treats a tag as
+    # existing iff `{tag}.model` exists, so every visible checkpoint is
+    # complete (optimizer included when provided).
     if opt_state is not None:
-        with open(run_dir / f"{tag}.optim", "wb") as f:
-            f.write(serialization.to_bytes(opt_state))
+        _atomic_write(run_dir / f"{tag}.optim", serialization.to_bytes(opt_state))
 
     if P is not None:
         from acn_tpu.utils.config import namespace_to_jsonable
 
-        with open(run_dir / f"{tag}.P.json", "w") as f:
-            json.dump(namespace_to_jsonable(P), f, indent=2)
+        _atomic_write(
+            run_dir / f"{tag}.P.json",
+            json.dumps(namespace_to_jsonable(P), indent=2).encode(),
+        )
 
-    with open(run_dir / f"{tag}.configs.json", "w") as f:
-        json.dump({"step": int(step), "best": float(best), "is_best": bool(is_best)}, f)
+    _atomic_write(
+        run_dir / f"{tag}.configs.json",
+        json.dumps(
+            {"step": int(step), "best": float(best), "is_best": bool(is_best)}
+        ).encode(),
+    )
+
+    # canonical state-dict form (lists → {"0": …}) so restore-with-template
+    # (from_state_dict) round-trips any pytree shape
+    _atomic_write(
+        run_dir / f"{tag}.model",
+        serialization.msgpack_serialize(serialization.to_state_dict(payload)),
+    )
 
 
 def load_checkpoint(run_dir, tag: str = "best") -> Dict[str, Any]:
@@ -162,6 +188,42 @@ def load_checkpoint(run_dir, tag: str = "best") -> Dict[str, Any]:
         out["step"] = int(c.get("step", 0))
         out["best"] = float(c.get("best", float("-inf")))
     return out
+
+
+def fallback_tags(run_dir, tag: str):
+    """Resume-candidate tags for ``run_dir``, best first: the requested tag,
+    then 'last', then stepN descending, then 'best'."""
+    run_dir = Path(run_dir)
+    steps = sorted(
+        (
+            int(p.stem[4:])
+            for p in run_dir.glob("step*.model")
+            if p.stem[4:].isdigit()
+        ),
+        reverse=True,
+    )
+    candidates = [tag, "last"] + [f"step{s}" for s in steps] + ["best"]
+    seen, out = set(), []
+    for t in candidates:
+        if t not in seen and (run_dir / f"{t}.model").exists():
+            seen.add(t)
+            out.append(t)
+    return out
+
+
+def load_checkpoint_with_fallback(run_dir, tag: str = "best"):
+    """``load_checkpoint`` that falls back to the next-older checkpoint when
+    the requested one is unreadable (pre-atomic-write truncation, partial
+    copies). Returns ``(payload, tag_used)``."""
+    errors = []
+    for t in fallback_tags(run_dir, tag):
+        try:
+            return load_checkpoint(run_dir, t), t
+        except Exception as e:
+            errors.append(f"{t}: {e}")
+    raise FileNotFoundError(
+        f"No readable checkpoint under {run_dir} (tried {errors or [tag]})"
+    )
 
 
 def load_opt_state(run_dir, tag: str, opt_state_template: Any) -> Any:

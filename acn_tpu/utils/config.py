@@ -49,6 +49,10 @@ def build_parser() -> argparse.ArgumentParser:
     # --- io/logging
     parser.add_argument("--eval_step", type=int, default=200)
     parser.add_argument("--save_step", type=int, default=1000)
+    parser.add_argument("--save_optimizer", type=int, default=1,
+                        help="step-tagged saves include the optax state + occ "
+                             "grids so watchdog resumes are loss-free; set 0 "
+                             "for params-only saves when HBM is tight")
     parser.add_argument("--print_step", type=int, default=1)
     parser.add_argument(
         "--log_method", type=str, default="step", choices=["step", "patch"],
@@ -73,6 +77,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--downscale", type=float, default=0.25)
     parser.add_argument("--near", type=float, default=None)
     parser.add_argument("--far", type=float, default=None)
+    # internal: set once build_context divides near/far (meters) by the
+    # pose_scale_factor. Rides checkpointed P.json so resuming from a
+    # checkpoint (whose stored near/far are already normalized) does not
+    # divide a second time.
+    parser.add_argument("--near_far_normalized", type=int, default=0,
+                        help=argparse.SUPPRESS)
     parser.add_argument("--bm", type=float, default=1.05)
 
     # --- episode gen
@@ -273,19 +283,17 @@ ARCH_KEYS = {
 }
 
 
-def _cli_provided_dests(parser: argparse.ArgumentParser, argv):
-    """Dest names explicitly present on the CLI
-    (reference common/args.py:190-204)."""
-    opt_to_action = {}
-    for action in parser._actions:
-        for opt in action.option_strings:
-            opt_to_action[opt] = action
-    provided = set()
-    for tok in argv:
-        act = opt_to_action.get(tok.split("=")[0] if "=" in tok else tok)
-        if act is not None:
-            provided.add(act.dest)
-    return provided
+def _dests_on_cli(parser: argparse.ArgumentParser, argv) -> set:
+    """Dest names the user explicitly passed on the command line — these pin
+    their values against both the JSON config and the checkpoint layer."""
+    dest_of = {
+        opt: act.dest for act in parser._actions for opt in act.option_strings
+    }
+    return {
+        dest_of[tok.partition("=")[0]]
+        for tok in argv
+        if tok.partition("=")[0] in dest_of
+    }
 
 
 def load_checkpoint_cfg(cfg_path: str) -> dict:
@@ -301,13 +309,6 @@ def load_checkpoint_cfg(cfg_path: str) -> dict:
     return vars(cfg_obj) if hasattr(cfg_obj, "__dict__") else dict(cfg_obj)
 
 
-def _enforce_arch_from_ckpt(args, ckpt_cfg: dict):
-    for k in ARCH_KEYS:
-        if k in ckpt_cfg and hasattr(args, k):
-            setattr(args, k, ckpt_cfg[k])
-    return args
-
-
 def resolve_ckpt_cfg_path(checkpoint_path: str, prefix: str) -> Optional[str]:
     for suffix in (f"{prefix}.P.json", f"{prefix}.P"):
         p = os.path.join(checkpoint_path, suffix)
@@ -317,41 +318,50 @@ def resolve_ckpt_cfg_path(checkpoint_path: str, prefix: str) -> Optional[str]:
 
 
 def parse_args(argv=None) -> argparse.Namespace:
-    """Merge priority: defaults < checkpoint < json (if not on CLI) < CLI;
-    ARCH_KEYS are always forced from the checkpoint
-    (reference common/args.py:220-277)."""
+    """Resolve the config namespace from its four layers.
+
+    Priority (low → high): parser defaults, checkpointed config, JSON config
+    file, explicit CLI flags — matching the reference's semantics
+    (common/args.py:220-277). ``ARCH_KEYS`` are the exception: they describe
+    the checkpoint's weights, so when a checkpoint is given they win over
+    everything, CLI included.
+    """
     parser = build_parser()
-    if argv is None:
-        argv = sys.argv[1:]
+    argv = list(sys.argv[1:] if argv is None else argv)
     args = parser.parse_args(argv)
+    args.checkpoint_path = args.checkpoint_path or None  # "" means unset
 
-    if args.checkpoint_path == "":
-        args.checkpoint_path = None
+    pinned = _dests_on_cli(parser, argv)
+    known = set(vars(args))
 
-    cli_dests = _cli_provided_dests(parser, argv)
-
-    ckpt_cfg = None
+    ckpt_cfg: dict = {}
     if args.checkpoint_path:
         cfg_path = resolve_ckpt_cfg_path(args.checkpoint_path, args.prefix)
         if cfg_path:
             ckpt_cfg = load_checkpoint_cfg(cfg_path)
-            _enforce_arch_from_ckpt(args, ckpt_cfg)
-            for k, v in ckpt_cfg.items():
-                if k in ARCH_KEYS or k in cli_dests:
-                    continue
-                if hasattr(args, k):
-                    setattr(args, k, v)
 
+    json_cfg: dict = {}
     if args.configPath is not None:
         with open(args.configPath) as f:
-            cfg = json.load(f)
-        for k, v in cfg.items():
-            if not hasattr(args, k) or k in cli_dests:
-                continue
-            setattr(args, k, v)
+            json_cfg = json.load(f)
 
-    if ckpt_cfg is not None:
-        _enforce_arch_from_ckpt(args, ckpt_cfg)
+    # apply layers low→high; CLI-pinned dests and unknown keys pass through
+    # (the reference also silently drops unknown JSON keys, common/args.py:261-266)
+    for layer in (ckpt_cfg, json_cfg):
+        for k, v in layer.items():
+            if k in known and k not in pinned:
+                setattr(args, k, v)
+
+    # the checkpoint's architecture is non-negotiable
+    for k in ARCH_KEYS & set(ckpt_cfg):
+        if k in known:
+            setattr(args, k, ckpt_cfg[k])
+
+    # near/far freshly given on the CLI or in the JSON config are in meters,
+    # even when the checkpoint layer marked its own (stored) values as
+    # normalized
+    if {"near", "far"} & (pinned | set(json_cfg)):
+        args.near_far_normalized = 0
 
     if args.fname is None:
         args.fname = default_experiment_fname(args)

@@ -239,7 +239,7 @@ def launch_viewer(ctx: Dict[str, Any]):
     # ---- Operation mode (reference viewer.py:324-691) ----
     with server.gui.add_folder("Operation Mode"):
         gui_mode = server.gui.add_dropdown(
-            "Mode", ("view", "runtime_adapt"), initial_value="view"
+            "Mode", ("view", "runtime_adapt", "meta_train"), initial_value="view"
         )
         gui_target = server.gui.add_number("Target steps", 0)
         gui_start = server.gui.add_button("Start")
