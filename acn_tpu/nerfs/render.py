@@ -139,6 +139,69 @@ def render_weights_from_density(
     return alpha * trans, trans
 
 
+def composite_packed(
+    sigmas_b: Array,  # (B,) densities at packed samples
+    rgbs_b: Array,  # (B, 3)
+    samples: dict,  # march_rays_budget output (t0_b/t1_b/ray_id/slot_real/ray_start)
+    n_rays: int,
+    bg_rgb: Optional[Array] = None,  # (N, 3)
+    alpha_thre: float = 0.0,
+) -> Tuple[Array, Array, Array, dict]:
+    """Compositing directly over the ray-major packed sample buffer.
+
+    The budget marcher packs every valid sample of the batch contiguously by
+    ray (occupancy/grid.py march_rays_budget), so per-ray transmittance is a
+    segment-exclusive product — computed here as one global cumsum of
+    log(1−α) minus each ray's start offset — and per-ray accumulation is a
+    B→N segment-sum (a scatter-add into a tiny target). Compared with
+    scattering results back onto the dense (N, s_max) grid this removes an
+    O(N·s_max) gather, its O(N·s_max) backward scatter, and all (N, s_max)
+    compositing traffic: everything is O(B) + O(N).
+
+    Returns (rgb_map (N,3), depth (N,), acc (N,), extras {wmax, went}) —
+    extras are the per-ray weight-shape stats fog suppression needs
+    (reference video_gen.py:329-363), computed as segment max / entropy.
+    """
+    t0_b, t1_b = samples["t0_b"], samples["t1_b"]
+    rid = samples["ray_id"]
+    real = samples["slot_real"]
+    B = t0_b.shape[0]
+
+    dt = jnp.maximum(t1_b - t0_b, 0.0)
+    sigma = jnp.where(real, jnp.maximum(sigmas_b, 0.0), 0.0)
+    alpha = 1.0 - jnp.exp(-sigma * dt)
+    if alpha_thre > 0.0:
+        alpha = jnp.where(alpha >= alpha_thre, alpha, 0.0)
+
+    # segment-exclusive transmittance: Π_{j<i in ray}(1−α_j+ε) via log-cumsum
+    logt = jnp.log(1.0 - alpha + 1e-10)
+    ce = jnp.cumsum(logt) - logt  # exclusive prefix
+    base = ce[jnp.clip(samples["ray_start"], 0, B - 1)]  # (N,)
+    trans = jnp.exp(ce - base[rid])
+    w = jnp.where(real, alpha * trans, 0.0)
+
+    rid_safe = jnp.where(real, rid, n_rays)  # padding → dropped
+    rgb_map = (
+        jnp.zeros((n_rays, 3), jnp.float32)
+        .at[rid_safe].add((w[:, None] * rgbs_b).astype(jnp.float32), mode="drop")
+    )
+    t_mid = 0.5 * (t0_b + t1_b)
+    depth = jnp.zeros((n_rays,), jnp.float32).at[rid_safe].add(
+        w * t_mid, mode="drop")
+    acc = jnp.zeros((n_rays,), jnp.float32).at[rid_safe].add(w, mode="drop")
+
+    # weight-shape stats (segment forms of renderer.py's wmax / entropy)
+    wmax = jnp.zeros((n_rays,), jnp.float32).at[rid_safe].max(w, mode="drop")
+    wlogw = jnp.zeros((n_rays,), jnp.float32).at[rid_safe].add(
+        w * jnp.log(jnp.maximum(w, 1e-12)), mode="drop")
+    wsum = jnp.maximum(acc, 1e-12)
+    went = jnp.log(wsum) - wlogw / wsum
+
+    if bg_rgb is not None:
+        rgb_map = rgb_map + (1.0 - acc[:, None]) * bg_rgb.astype(rgb_map.dtype)
+    return rgb_map, depth, acc, {"wmax": wmax, "went": went}
+
+
 def composite(
     weights: Array,  # (N, S)
     rgbs: Array,  # (N, S, 3)

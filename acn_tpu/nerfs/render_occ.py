@@ -31,7 +31,11 @@ import jax.numpy as jnp
 from acn_tpu.models import container as cont
 from acn_tpu.models.container import ContainerConfig
 from acn_tpu.nerfs import scene_box as sbox
-from acn_tpu.nerfs.render import composite, render_weights_from_density
+from acn_tpu.nerfs.render import (
+    composite,
+    composite_packed,
+    render_weights_from_density,
+)
 from acn_tpu.occupancy import grid as occ_grid
 from acn_tpu.occupancy.grid import OccConfig
 
@@ -143,9 +147,11 @@ def render_rays_occ_budget(
     budget** (see occ_grid.march_rays_budget): all experts evaluate exactly
     N·budget packed points instead of N·s_kept slots. For full frames —
     where sky/background rays have almost no occupied samples — this
-    converts the frame's true sparsity into wall-clock.
+    converts the frame's true sparsity into wall-clock. Compositing runs
+    directly over the packed buffer (render.composite_packed) — O(B)
+    segment scans instead of O(N·s_max) gathers.
 
-    Returns (rgb_map, depth, weights (N, s_max), acc).
+    Returns (rgb_map, depth, extras {wmax, went} (N,), acc).
     """
     bufs = variables["buffers"]
     any_expert_valid = _any_expert_valid_fn(occ_states, bufs["expert_aabbs"])
@@ -165,25 +171,14 @@ def render_rays_occ_budget(
         extra_valid_fn=any_expert_valid,
     )
 
-    xd = samples["xd"]  # (B, 6)
-    sigma_mix, rgb_mix = _soft_moe_eval(variables, cfg, xd, params_override)
-
-    B = xd.shape[0]
-    idx = jnp.clip(samples["gpos"], 0, B - 1)
-    sigmas = sigma_mix[idx]  # (N, S)
-    rgbs = rgb_mix[idx]  # (N, S, 3)
-    mask = samples["valid"]
-
-    t0k, t1k = samples["t_starts"], samples["t_ends"]
-    if alpha_thre > 0.0:
-        dt = jnp.maximum(t1k - t0k, 0.0)
-        alpha = 1.0 - jnp.exp(-jnp.maximum(sigmas, 0.0) * dt)
-        mask = mask & (alpha >= alpha_thre)
-
-    weights, _ = render_weights_from_density(t0k, t1k, sigmas, sample_mask=mask)
-    t_mid = 0.5 * (t0k + t1k)
-    rgb_map, depth, acc = composite(weights, rgbs, t_mid, bg_rgb=bg_rgb)
-    return rgb_map, depth, weights, acc
+    sigma_mix, rgb_mix = _soft_moe_eval(
+        variables, cfg, samples["xd"], params_override
+    )
+    rgb_map, depth, acc, extras = composite_packed(
+        sigma_mix, rgb_mix, samples, rays.shape[0], bg_rgb=bg_rgb,
+        alpha_thre=alpha_thre,
+    )
+    return rgb_map, depth, extras, acc
 
 
 def render_rays_occ(

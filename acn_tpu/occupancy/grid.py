@@ -383,8 +383,12 @@ def march_rays_budget(
     batch-tail-first (capacity overflow, like MoE token dropping); size the
     budget ≥ the expected mean valid count and overflow is rare.
 
-    Returns {positions (B, 3), gpos (N, s_max), valid (N, s_max),
-    t_starts/t_ends (N, s_max), overflow (scalar fraction)}.
+    Returns {xd (B, 6), t0_b/t1_b (B,), ray_id (B,), slot_real (B,),
+    ray_start (N,), gpos (N, s_max), valid (N, s_max), t_starts/t_ends
+    (N, s_max), overflow (scalar fraction)}. The B-shaped fields feed
+    ``render.composite_packed`` — compositing never touches the dense
+    (N, s_max) grid; the N·s_max-shaped fields exist for diagnostics/tests
+    and are dead-code-eliminated when unused.
     """
     o, d = rays[:, :3], rays[:, 3:6]
     near, far = rays[:, 6], rays[:, 7]
@@ -415,17 +419,39 @@ def march_rays_budget(
 
     keep = flat_valid & (gpos.reshape(-1) < B)
     slot = jnp.where(keep, gpos.reshape(-1), B)  # B ⇒ dropped
-    xd = jnp.concatenate(
-        [x, jnp.broadcast_to(d[:, None, :], x.shape)], axis=-1
-    ).reshape(-1, 6)
-    buffer_xd = (
-        jnp.zeros((B, 6), jnp.float32).at[slot].set(xd, mode="drop")
+    # one scatter carries positions AND the compositing metadata — TPU
+    # scatters are row-count-bound, so the extra columns are free
+    rid = jnp.broadcast_to(
+        jnp.arange(N, dtype=jnp.float32)[:, None], (N, s_max)
     )
+    payload = jnp.concatenate(
+        [
+            x.reshape(-1, 3),
+            jnp.broadcast_to(d[:, None, :], x.shape).reshape(-1, 3),
+            t0.reshape(-1, 1),
+            t1.reshape(-1, 1),
+            rid.reshape(-1, 1),
+        ],
+        axis=-1,
+    )  # (N·s_max, 9)
+    buffer = jnp.zeros((B, 9), jnp.float32).at[slot].set(payload, mode="drop")
+
+    # ray-major packing ⇒ each ray's packed slots are contiguous, starting at
+    # the exclusive cumsum of per-ray valid counts (composite_packed's
+    # segment boundaries)
+    counts = jnp.sum(valid, axis=1).astype(jnp.int32)
+    ray_start = jnp.cumsum(counts) - counts
+    slot_real = jnp.arange(B, dtype=jnp.int32) < jnp.minimum(n_valid, B)
 
     in_budget = valid & (gpos < B)
     overflow = jnp.maximum(n_valid - B, 0) / jnp.maximum(n_valid, 1)
     return {
-        "xd": buffer_xd,
+        "xd": buffer[:, :6],
+        "t0_b": buffer[:, 6],
+        "t1_b": buffer[:, 7],
+        "ray_id": buffer[:, 8].astype(jnp.int32),
+        "slot_real": slot_real,
+        "ray_start": ray_start,
         "gpos": gpos,
         "valid": in_budget,
         "t_starts": t0,

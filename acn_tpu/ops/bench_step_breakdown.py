@@ -47,7 +47,7 @@ def _sync(x):
     np.asarray(leaf.ravel()[0] if hasattr(leaf, "ravel") else leaf)
 
 
-def _time(fn, *args, iters=4, warmup=1):
+def _time(fn, *args, iters=4, warmup=1, label=""):
     out = None
     for _ in range(warmup):
         out = fn(*args)
@@ -56,7 +56,10 @@ def _time(fn, *args, iters=4, warmup=1):
     for _ in range(iters):
         out = fn(*args)
     _sync(out)
-    return (time.perf_counter() - t0) / iters
+    dt = (time.perf_counter() - t0) / iters
+    if label:
+        print(f"# {label}: {dt * 1e3:.1f} ms", flush=True)
+    return dt
 
 
 def main(argv=None):
@@ -66,6 +69,15 @@ def main(argv=None):
     ap.add_argument("--iters", type=int, default=4)
     args = ap.parse_args(argv)
 
+    # USR1 stack dumps (long tunnel compiles look like hangs) + keepalive
+    import faulthandler
+    import signal
+
+    try:
+        faulthandler.register(signal.SIGUSR1)
+    except (AttributeError, ValueError):
+        pass
+
     cache = os.path.expanduser("~/.cache/acn_tpu_xla")
     import jax
 
@@ -74,6 +86,10 @@ def main(argv=None):
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+
+    from acn_tpu.runner import _start_tunnel_keepalive
+
+    _start_tunnel_keepalive()
 
     import jax.numpy as jnp
     import numpy as np
@@ -154,7 +170,7 @@ def main(argv=None):
         _, m = step_occ(state, batch, occ_states, key)
         return m["loss_total"]
 
-    results["full_step"] = _time(run_step, iters=args.iters)
+    results["full_step"] = _time(run_step, iters=args.iters, label="full_step")
 
     if args.profile:
         jax.profiler.start_trace(args.profile)
@@ -177,37 +193,37 @@ def main(argv=None):
             occ, r, occ_cfg, int(P.occ_s_max), int(P.occ_s_kept), key=k)
     )
     results["march"] = _time(
-        lambda: march_j(occ0, sr, key)["positions"], iters=args.iters)
+        lambda: march_j(occ0, sr, key)["positions"], iters=args.iters, label="march")
     smp = march_j(occ0, sr, key)
 
     fwd_j = jax.jit(
         lambda p, b, smp, k: episode_loss(p, b, aabb0, occ0, sr, sg, k,
                                           samples=smp))
     results["episode_fwd"] = _time(
-        lambda: fwd_j(e0, bg0, smp, key), iters=args.iters)
+        lambda: fwd_j(e0, bg0, smp, key), iters=args.iters, label="episode_fwd")
 
     grad_j = jax.jit(
         lambda p, b, smp, k: jax.value_and_grad(episode_loss)(
             p, b, aabb0, occ0, sr, sg, k, samples=smp)[0]
     )
     results["episode_grad"] = _time(
-        lambda: grad_j(e0, bg0, smp, key), iters=args.iters)
+        lambda: grad_j(e0, bg0, smp, key), iters=args.iters, label="episode_grad")
 
     # ---- hash encode alone at episode scale (S×s_kept points) ----
     n_pts = S * int(P.occ_s_kept)
     x01 = jnp.asarray(rng.uniform(0, 1, (n_pts, 3)).astype(np.float32))
-    tables = e0["encoding"]
+    tables = e0["hash_table"]
     if P.use_amp:
         tables_b = jax.tree.map(lambda t: t.astype(jnp.bfloat16), tables)
     else:
         tables_b = tables
 
     hf_j = jax.jit(lambda t, x: hash_encode(t, x, hash_cfg).sum())
-    results["hash_fwd"] = _time(lambda: hf_j(tables_b, x01), iters=args.iters)
+    results["hash_fwd"] = _time(lambda: hf_j(tables_b, x01), iters=args.iters, label="hash_fwd")
 
     hg_j = jax.jit(jax.grad(lambda t, x: hash_encode(t, x, hash_cfg).sum()))
     results["hash_grad"] = _time(
-        lambda: jax.tree.leaves(hg_j(tables_b, x01))[0], iters=args.iters)
+        lambda: jax.tree.leaves(hg_j(tables_b, x01))[0], iters=args.iters, label="hash_grad")
 
     # ---- full expert net fwd+bwd at episode point count (hash + MLP) ----
     from acn_tpu.models import ngp
@@ -222,7 +238,7 @@ def main(argv=None):
 
     mlp_j = jax.jit(jax.grad(expert_loss))
     results["expert_grad"] = _time(
-        lambda: jax.tree.leaves(mlp_j(e0))[0], iters=args.iters)
+        lambda: jax.tree.leaves(mlp_j(e0))[0], iters=args.iters, label="expert_grad")
 
     # ---- optimizer update alone ----
     g0 = jax.tree.map(jnp.zeros_like, variables["params"])
@@ -232,7 +248,7 @@ def main(argv=None):
     results["opt_update"] = _time(
         lambda: jax.tree.leaves(opt_j(g0, state["opt_state"],
                                       variables["params"]))[0],
-        iters=args.iters)
+        iters=args.iters, label="opt_update")
 
     # ---- decomposition ----
     n_inner = K * T * INNER          # inner fwd+bwd episode units (support)

@@ -34,7 +34,11 @@ from acn_tpu.models import container as cont
 from acn_tpu.models.container import ContainerConfig
 from acn_tpu.nerfs.losses import aligned_mse_loss, psnr_from_mse
 from acn_tpu.nerfs.render import bg_default_color, render_rays_stratified
-from acn_tpu.nerfs.render import composite, render_weights_from_density
+from acn_tpu.nerfs.render import (
+    composite,
+    composite_packed,
+    render_weights_from_density,
+)
 from acn_tpu.occupancy import grid as occ_grid
 from acn_tpu.occupancy.grid import OccConfig
 from acn_tpu.pipelines.offline_stage import meta_core
@@ -139,18 +143,11 @@ def make_episode_loss(cfg: ContainerConfig, P, occ_cfg: Optional[OccConfig] = No
                     occ_state, rays, occ_cfg,
                     int(P.occ_s_max), int(P.occ_s_kept), key=key,
                 )
-            if "xd" in samples:  # global-budget layout
+            if "xd" in samples:  # global-budget layout — packed compositing
                 out_buf = fwd(samples["xd"])  # (B, 4)
-                B = out_buf.shape[0]
-                idx = jnp.clip(samples["gpos"], 0, B - 1)
-                per = out_buf[idx]  # (N, S, 4)
-                weights, _ = render_weights_from_density(
-                    samples["t_starts"], samples["t_ends"], per[..., 3],
-                    sample_mask=samples["valid"],
-                )
-                t_mid = 0.5 * (samples["t_starts"] + samples["t_ends"])
-                rgb_map, _, _ = composite(
-                    weights, per[..., :3], t_mid, bg_rgb=bg
+                rgb_map, _, _, _ = composite_packed(
+                    out_buf[..., 3], out_buf[..., :3], samples,
+                    rays.shape[0], bg_rgb=bg,
                 )
             else:
                 x = samples["positions"]

@@ -125,11 +125,15 @@ class Renderer:
                     )
             # per-ray weight-shape stats used by fog suppression
             # (reference video_gen.py:329-363): max weight and entropy of the
-            # normalized weight distribution along each ray
-            wsum = jnp.maximum(jnp.sum(weights, axis=1, keepdims=True), 1e-12)
-            p = weights / wsum
-            went = -jnp.sum(p * jnp.log(jnp.maximum(p, 1e-12)), axis=1)
-            wmax = jnp.max(weights, axis=1)
+            # normalized weight distribution along each ray. The packed
+            # budget renderer computes these as segment stats already.
+            if isinstance(weights, dict):
+                wmax, went = weights["wmax"], weights["went"]
+            else:
+                wsum = jnp.maximum(jnp.sum(weights, axis=1, keepdims=True), 1e-12)
+                p = weights / wsum
+                went = -jnp.sum(p * jnp.log(jnp.maximum(p, 1e-12)), axis=1)
+                wmax = jnp.max(weights, axis=1)
             return rgb, depth, acc, wmax, went
 
         fn = jax.jit(render_chunk)

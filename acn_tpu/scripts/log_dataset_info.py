@@ -74,13 +74,26 @@ def dataset_info(data_path: Path) -> str:
             f"forward·Down mean: {fwd_drb[:, 0].mean():+.3f} "
             f"(aerial datasets should be positive)"
         )
+        def rng_mean_std(v):
+            return (f"{v.min():+.4f}..{v.max():+.4f} "
+                    f"mean {v.mean():+.4f} std {v.std():.4f}")
+
         fx, fy = intr[:, 0], intr[:, 1]
+        cx, cy = intr[:, 2], intr[:, 3]
         H = np.array([s[0] for s in sizes], np.float64)
         W = np.array([s[1] for s in sizes], np.float64)
         fov_x = 2 * np.degrees(np.arctan(W / (2 * fx)))
         fov_y = 2 * np.degrees(np.arctan(H / (2 * fy)))
+        lines.append(f"fx: {rng_mean_std(fx)}")
+        lines.append(f"fy: {rng_mean_std(fy)}")
+        lines.append(f"cx: {rng_mean_std(cx)}  (W/2 = {W.mean() / 2:.1f})")
+        lines.append(f"cy: {rng_mean_std(cy)}  (H/2 = {H.mean() / 2:.1f})")
         lines.append(f"fov_x: {fov_x.min():.2f}..{fov_x.max():.2f} deg; "
                      f"fov_y: {fov_y.min():.2f}..{fov_y.max():.2f} deg")
+        if np.any(np.abs(fx - fy) / np.maximum(fx, 1e-9) > 0.10):
+            lines.append(
+                "WARNING: fx and fy differ by >10% (non-square pixels)"
+            )
         from collections import Counter
 
         lines.append(f"sizes: {Counter(sizes).most_common()}")
@@ -135,6 +148,30 @@ def dataset_info(data_path: Path) -> str:
             "mean forward (DRB): "
             + np.array2string(fwd.mean(0), precision=3)
         )
+        # tilt-from-nadir distribution (aerial capture audit): angle between
+        # the camera forward and straight Down
+        tilt = np.degrees(np.arccos(np.clip(fwd_drb[:, 0], -1, 1)))
+        lines.append(f"tilt from nadir (deg): {rng_mean_std(tilt)}")
+        # altitude-band sanity: the scene's altitude band (from points3D at
+        # prepare time) must sit BELOW every camera, or rays near nadir have
+        # inverted near/far
+        if coord.get("altitude_range_enu") is not None:
+            band = np.asarray(coord["altitude_range_enu"], np.float64)
+            origin = np.asarray(coord["origin_drb"], np.float64)
+            # absolute ENU altitude: up = −(normalized_down·psf + origin_down)
+            cam_alt = -(t[:, 0] * psf + origin[0])
+            lines.append(
+                f"camera altitude ENU (m): {rng_mean_std(cam_alt)}; "
+                f"scene altitude band ENU: [{band[0]:.1f}, {band[1]:.1f}] "
+                "(= [lowest points3D percentile, highest camera])"
+            )
+            # the band floor must sit below every camera or nadir rays
+            # start inside geometry
+            if band[0] > cam_alt.min():
+                lines.append(
+                    "WARNING: scene altitude floor is above the lowest "
+                    "camera — check prepare_dataset altitude flags"
+                )
     return "\n".join(lines)
 
 

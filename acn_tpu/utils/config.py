@@ -126,10 +126,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--hash_backend", type=str, default="auto", choices=["auto", "jnp", "pallas"]
     )
     parser.add_argument(
-        "--hash_dense_levels", action="store_true",
+        "--hash_dense_levels", type=int, default=1,
         help="clamp coarse cell-layout levels to dense res^3 tables with "
-             "collision-free linear indexing (tcnn semantics; smaller "
-             "scatter targets). Changes table shapes -> pinned via ARCH_KEYS")
+             "collision-free linear indexing (tcnn semantics; collision-free "
+             "coarse levels AND far smaller scatter targets — default on "
+             "since r3). Changes table shapes -> pinned via ARCH_KEYS; old "
+             "checkpoints restore with their own setting")
     parser.add_argument(
         "--hash_layout", type=str, default="cell", choices=["cell", "corner"],
         help="hash-grid memory layout: 'cell' (TPU-native, 8 corner features "
