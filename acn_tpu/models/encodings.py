@@ -162,6 +162,13 @@ class HashGridConfig:
     interpolation: str = "Linear"  # "Linear" | "Nearest" | "Smoothstep"
     backend: str = "auto"  # "auto" | "jnp" | "pallas"
     layout: str = "corner"  # "corner" | "cell"
+    # Cell-layout backward strategy. "remat" recomputes the forward (indices
+    # AND the row gather) in the backward pass — minimal residual memory.
+    # "save_rows" keeps the gathered rows + intra-cell fractions as
+    # residuals: the backward becomes scatter + elementwise only, removing
+    # one full re-gather (~1/3 of the hash row traffic of a fwd+bwd) for
+    # ~(8F+4)·bytes/point·level of residual memory.
+    cell_backward: str = "save_rows"  # "save_rows" | "remat"
     # Clamp per-level cell-layout tables to res³ rows with LINEAR (dense)
     # indexing when that's smaller than 2^log2 — tcnn's behavior
     # (collision-free coarse levels, smaller scatter targets). Changes table
@@ -360,8 +367,142 @@ def _hash_encode_cell_impl(tables, x01: Array, cfg: HashGridConfig) -> Array:
     return jnp.concatenate(feats, axis=-1)  # (..., L·F)
 
 
+def _cell_level_lookup(tables, x01, cfg, l):
+    """Per-level (rows (..., 8F), h (...,), frac_raw (..., 3))."""
+    resolutions = cfg.level_resolutions()
+    scaled = x01 * jnp.asarray(resolutions[l], x01.dtype)
+    cell = jnp.floor(scaled)
+    frac = scaled - cell
+    cell_i = cell.astype(jnp.int32)
+    res_l = int(resolutions[l])
+    if cfg.dense_levels and res_l**3 <= cfg.level_rows(l):
+        ci = jnp.clip(cell_i, 0, res_l - 1)
+        h = (ci[..., 0] * res_l + ci[..., 1]) * res_l + ci[..., 2]
+    else:
+        h = _spatial_hash(cell_i, cfg.log2_hashmap_size)
+    return tables[l][h], h, frac
+
+
+def _corner_weights(frac):
+    """(..., 8) trilinear corner weights in packing order (dz fastest)."""
+    wx, wy, wz = frac[..., 0:1], frac[..., 1:2], frac[..., 2:3]
+    one = jnp.ones_like(wx)
+    return jnp.concatenate(
+        [
+            (wx if dx else one - wx) * (wy if dy else one - wy)
+            * (wz if dz else one - wz)
+            for dx in (0, 1)
+            for dy in (0, 1)
+            for dz in (0, 1)
+        ],
+        axis=-1,
+    )
+
+
+def _interp_frac(frac, interpolation):
+    if interpolation == "Smoothstep":
+        return frac * frac * (3 - 2 * frac)
+    if interpolation == "Nearest":
+        return jnp.round(frac)
+    return frac
+
+
+def _cell_saved_fwd_impl(tables, x01, cfg: HashGridConfig):
+    F = cfg.features_per_level
+    feats, res_rows, res_h, res_frac = [], [], [], []
+    for l in range(cfg.levels):
+        rows, h, frac_raw = _cell_level_lookup(tables, x01, cfg, l)
+        f = _interp_frac(frac_raw, cfg.interpolation)
+        w = _corner_weights(f)  # (..., 8)
+        out = jnp.einsum(
+            "...c,...cf->...f", w.astype(rows.dtype),
+            rows.reshape(*rows.shape[:-1], 8, F),
+        )
+        feats.append(out)
+        res_rows.append(rows)
+        res_h.append(h)
+        res_frac.append(frac_raw)
+    return jnp.concatenate(feats, axis=-1), (res_rows, res_h, res_frac)
+
+
+from functools import partial
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _hash_encode_cell_saved(tables, x01, cfg):
+    return _cell_saved_fwd_impl(tables, x01, cfg)[0]
+
+
+def _saved_fwd(tables, x01, cfg):
+    out, (rows_l, h_l, frac_l) = _cell_saved_fwd_impl(tables, x01, cfg)
+    return out, (rows_l, h_l, frac_l, x01)
+
+
+def _saved_bwd(cfg, res, g):
+    rows_l, h_l, frac_l, x01 = res
+    F = cfg.features_per_level
+    resolutions = cfg.level_resolutions()
+    # corner sign pattern per axis (packing order: dz fastest)
+    signs = np.array(
+        [[1.0 if dx else -1.0, 1.0 if dy else -1.0, 1.0 if dz else -1.0]
+         for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)],
+        np.float32,
+    )  # (8, 3)
+
+    tab_grads = []
+    gx = jnp.zeros(x01.shape, jnp.float32)
+    for l in range(cfg.levels):
+        rows, h, frac_raw = rows_l[l], h_l[l], frac_l[l]
+        g_l = g[..., l * F:(l + 1) * F]  # (..., F)
+        f = _interp_frac(frac_raw, cfg.interpolation)
+        w = _corner_weights(f)  # (..., 8)
+
+        # table grad: scatter w ⊗ g at h — scatter + elementwise ONLY, no
+        # re-gather (the point of this backward)
+        gw = (
+            w[..., :, None].astype(g_l.dtype) * g_l[..., None, :]
+        ).reshape(*w.shape[:-1], 8 * F)
+        tab_grads.append(
+            jnp.zeros((cfg.level_rows(l), 8 * F), rows.dtype)
+            .at[h].add(gw.astype(rows.dtype))
+        )
+
+        # x grad via dw/df: for axis a, dw_c/df_a = sign_a(c)·Π_{b≠a} A_b
+        rg = jnp.einsum(
+            "...cf,...f->...c", rows.reshape(*rows.shape[:-1], 8, F),
+            g_l.astype(rows.dtype),
+        ).astype(jnp.float32)  # (..., 8)
+        A = jnp.stack(
+            [jnp.where(signs[None, :, a] > 0, f[..., None, a],
+                       1.0 - f[..., None, a]).astype(jnp.float32)
+             for a in range(3)],
+            axis=-1,
+        )  # (..., 8, 3) — per-axis factor per corner
+        s = []
+        for a in range(3):
+            b1, b2 = [b for b in range(3) if b != a]
+            others = A[..., b1] * A[..., b2]  # Π_{b≠a}
+            s.append(jnp.sum(signs[None, :, a] * others * rg, axis=-1))
+        s = jnp.stack(s, axis=-1)  # (..., 3) = dout/df
+        if cfg.interpolation == "Smoothstep":
+            chain = (6.0 * frac_raw * (1.0 - frac_raw)).astype(jnp.float32)
+        else:
+            chain = 1.0
+        gx = gx + s * chain * jnp.float32(resolutions[l])
+    return tab_grads, gx.astype(x01.dtype)
+
+
+_hash_encode_cell_saved.defvjp(_saved_fwd, _saved_bwd)
+
+
 def hash_encode_cell(table: Array, x01: Array, cfg: HashGridConfig) -> Array:
-    """Cell-packed encoding with rematerialized backward (see hash_encode_jnp)."""
+    """Cell-packed encoding.
+
+    Backward per ``cfg.cell_backward``: "save_rows" keeps the gathered rows
+    as residuals (backward = scatter + elementwise, no re-gather); "remat"
+    recomputes the forward in the backward pass (minimal memory)."""
+    if cfg.cell_backward == "save_rows" and cfg.interpolation != "Nearest":
+        return _hash_encode_cell_saved(table, x01, cfg)
     return jax.checkpoint(_hash_encode_cell_impl, static_argnums=(2,))(
         table, x01, cfg
     )

@@ -137,3 +137,52 @@ def test_dense_level_is_collision_free():
     outside = jnp.array([[0.1, 0.1, 0.1]])
     assert float(jnp.abs(hash_encode(tables, inside, cfg)).sum()) > 0
     assert float(jnp.abs(hash_encode(tables, outside, cfg)).sum()) == 0
+
+
+def test_save_rows_vjp_matches_remat():
+    """The row-saving custom VJP (cell_backward='save_rows') must produce
+    bit-comparable gradients to the remat/autodiff path for both table and
+    position cotangents, across interpolation modes and dense levels."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from acn_tpu.models.encodings import (
+        HashGridConfig,
+        hash_encode,
+        init_hash_table,
+    )
+
+    for interp in ("Linear", "Smoothstep"):
+        for dense in (False, True):
+            cfg_s = HashGridConfig(
+                levels=4, min_res=4, max_res=32, log2_hashmap_size=8,
+                layout="cell", interpolation=interp, dense_levels=dense,
+                cell_backward="save_rows",
+            )
+            cfg_r = dataclasses.replace(cfg_s, cell_backward="remat")
+            tab = init_hash_table(jax.random.PRNGKey(0), cfg_s)
+            x = jax.random.uniform(
+                jax.random.PRNGKey(1), (257, 3), minval=0.01, maxval=0.99
+            )
+
+            np.testing.assert_allclose(
+                np.asarray(hash_encode(tab, x, cfg_s)),
+                np.asarray(hash_encode(tab, x, cfg_r)),
+                rtol=1e-6, atol=1e-6,
+            )
+
+            def loss(t, x, cfg):
+                return jnp.sum(jnp.sin(hash_encode(t, x, cfg) * 3.0))
+
+            gt_s, gx_s = jax.grad(loss, argnums=(0, 1))(tab, x, cfg_s)
+            gt_r, gx_r = jax.grad(loss, argnums=(0, 1))(tab, x, cfg_r)
+            for a, b in zip(jax.tree.leaves(gt_s), jax.tree.leaves(gt_r)):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6
+                )
+            np.testing.assert_allclose(
+                np.asarray(gx_s), np.asarray(gx_r), rtol=2e-4, atol=2e-4
+            )
