@@ -202,12 +202,35 @@ def main(argv=None):
     results["episode_fwd"] = _time(
         lambda: fwd_j(e0, bg0, smp, key), iters=args.iters, label="episode_fwd")
 
+    # return the grads too — indexing [0] inside jit lets XLA DCE the
+    # entire backward pass and "measure" a forward
     grad_j = jax.jit(
         lambda p, b, smp, k: jax.value_and_grad(episode_loss)(
-            p, b, aabb0, occ0, sr, sg, k, samples=smp)[0]
+            p, b, aabb0, occ0, sr, sg, k, samples=smp)
     )
     results["episode_grad"] = _time(
         lambda: grad_j(e0, bg0, smp, key), iters=args.iters, label="episode_grad")
+
+    # K-vmapped episode grad — the actual per-unit shape inside the step
+    # (4 experts march+render different occupancy states concurrently)
+    eK = variables["params"]["experts"]
+    aabbsK = variables["buffers"]["expert_aabbs"]
+    srK = batch["support_rays"][:, 0]
+    sgK = batch["support_rgbs"][:, 0]
+
+    def one_expert(p, ab, occ, r, t, k):
+        smp_k = prep(occ, r, k)
+        return jax.value_and_grad(episode_loss)(
+            p, bg0, ab, occ, r, t, k, samples=smp_k)
+
+    gradK_j = jax.jit(
+        lambda ps, abs_, occs, rs, ts, k: jax.vmap(
+            one_expert, in_axes=(0, 0, 0, 0, 0, None)
+        )(ps, abs_, occs, rs, ts, k)
+    )
+    results["episode_grad_K"] = _time(
+        lambda: gradK_j(eK, aabbsK, occ_states, srK, sgK, key),
+        iters=args.iters, label="episode_grad_K")
 
     # ---- hash encode alone at episode scale (S×s_kept points) ----
     n_pts = S * int(P.occ_s_kept)
@@ -251,19 +274,17 @@ def main(argv=None):
         iters=args.iters, label="opt_update")
 
     # ---- decomposition ----
-    n_inner = K * T * INNER          # inner fwd+bwd episode units (support)
-    n_query = K * T                  # query fwd+bwd units
-    n_march = K * T * 2              # support + query march, once per episode
+    n_units = T * INNER + T          # sequential K-wide fwd+bwd units
     pred = (
-        (n_inner + n_query) * results["episode_grad"] / K  # vmapped over K
-        + n_march * results["march"] / K
+        n_units * results["episode_grad_K"]  # march included in the unit
         + results["opt_update"]
     )
     rows_per_episode = n_pts * hash_cfg.levels
 
     print("\n=== occ meta-step decomposition (v5e 1 chip) ===")
     for k in ("full_step", "march", "episode_fwd", "episode_grad",
-              "hash_fwd", "hash_grad", "expert_grad", "opt_update"):
+              "episode_grad_K", "hash_fwd", "hash_grad", "expert_grad",
+              "opt_update"):
         print(f"{k:>14}: {results[k] * 1e3:10.1f} ms")
     print(f"\nper-episode hash rows (S·s_kept·L): {rows_per_episode / 1e6:.1f} M")
     print(f"hash_fwd gather rate: {rows_per_episode / results['hash_fwd'] / 1e6:8.1f} M rows/s")

@@ -42,19 +42,33 @@ class Renderer:
         self.cfg = cfg
         self.P = P
         self.occ_cfg = occ_cfg
-        if chunk_rays is None:
-            # budget point-expert evals per chunk from P.chunk_points: the
-            # dense routed eval touches all K experts per sample; the corner
-            # hash layout additionally builds 8-corner temporaries (the cell
-            # layout gathers packed rows, no blowup)
-            k = max(cfg.num_submodules, 1)
-            s = max(int(P.ray_samples), 1)
-            expert = getattr(cfg, "expert", None)
-            corner = getattr(getattr(expert, "hash", None), "layout", "cell") == "corner"
-            blow = 8 if corner else 1
-            chunk_rays = max(1024, int(P.chunk_points) // (blow * k * s))
-        self.chunk_rays = int(chunk_rays)
+        self._chunk_override = None if chunk_rays is None else int(chunk_rays)
+        self.chunk_rays = self._chunk_size(occ_cfg is not None)
         self._jitted = {}
+
+    def _chunk_size(self, use_occ: bool) -> int:
+        """Rays per jitted chunk, budgeting point-expert evals from
+        P.chunk_points. The dense routed eval touches all K experts per
+        sample; the corner hash layout additionally builds 8-corner
+        temporaries; the occ paths evaluate only s_kept (or the packed
+        budget) points per ray — far fewer than ray_samples, so their
+        chunks carry proportionally more rays (fewer dispatches/frame)."""
+        if self._chunk_override is not None:
+            return self._chunk_override
+        P, cfg = self.P, self.cfg
+        k = max(cfg.num_submodules, 1)
+        if use_occ:
+            budget = int(getattr(P, "occ_budget_per_ray", 0) or 0)
+            s = budget if budget > 0 else min(
+                max(int(P.ray_samples), 1),
+                int(getattr(P, "occ_s_kept", P.ray_samples)),
+            )
+        else:
+            s = max(int(P.ray_samples), 1)
+        expert = getattr(cfg, "expert", None)
+        corner = getattr(getattr(expert, "hash", None), "layout", "cell") == "corner"
+        blow = 8 if corner else 1
+        return max(1024, int(P.chunk_points) // (blow * k * max(s, 1)))
 
     # ---------------- jitted chunk kernels ----------------
 
@@ -210,7 +224,7 @@ class Renderer:
         key = key if key is not None else jax.random.PRNGKey(0)
 
         N = rays.shape[0]
-        C = self.chunk_rays
+        C = self._chunk_size(use_occ)
         rgb_out = np.zeros((N, 3), np.float32)
         depth_out = np.zeros((N,), np.float32)
         acc_out = np.zeros((N,), np.float32)
@@ -261,7 +275,7 @@ class Renderer:
         _frame_chunk_fn). Returns (rgb (H,W,3) linear [0,1], depth (H·W,),
         acc (H·W,))."""
         use_occ = (self.occ_cfg is not None) if use_occ is None else use_occ
-        rows = max(self.chunk_rays // W, 1)
+        rows = max(self._chunk_size(use_occ) // W, 1)
         fn = self._frame_chunk_fn(use_occ, active_module, W, rows, ray_samples)
 
         c2w_j = jnp.asarray(np.asarray(c2w, np.float32))

@@ -72,11 +72,11 @@ def build_model_configs(P, clustering_params) -> ContainerConfig:
     layout = getattr(P, "hash_layout", "cell")
     log2 = int(P.log2_hashmap_size) - (3 if layout == "cell" else 0)
     hash_cfg = HashGridConfig(
-        levels=16,
+        levels=int(getattr(P, "hash_levels", 16)),
         min_res=16,
         max_res=int(P.max_res),
         log2_hashmap_size=max(log2, 4),
-        features_per_level=2,
+        features_per_level=int(getattr(P, "hash_features", 2)),
         interpolation="Linear",
         backend=getattr(P, "hash_backend", "auto"),
         layout=layout,

@@ -108,6 +108,13 @@ def build_parser() -> argparse.ArgumentParser:
     # --- hash encoding
     parser.add_argument("--max_res", type=int, default=4096)
     parser.add_argument("--log2_hashmap_size", type=int, default=20)
+    parser.add_argument("--hash_levels", type=int, default=16,
+                        help="multiresolution hash levels L")
+    parser.add_argument("--hash_features", type=int, default=2,
+                        help="features per level F. Encoding width = L*F; "
+                             "TPU hash traffic is row-count-bound at "
+                             "points*L rows, so L8/F4 halves gather/scatter "
+                             "rows at equal encoding width vs L16/F2")
     parser.add_argument("--use_occ", action="store_true")
     parser.add_argument(
         "--xyz_encoding", type=str, default="hash",
@@ -275,6 +282,8 @@ ARCH_KEYS = {
     "color_hidden",
     "max_res",
     "log2_hashmap_size",
+    "hash_levels",
+    "hash_features",
     "hash_layout",
     "hash_dense_levels",
     "xyz_encoding",

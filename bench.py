@@ -80,8 +80,12 @@ def main():
     RAY_SAMPLES = 96
 
     # cell-layout tables: 2^16 rows × 16 floats/level ≈ the reference's
-    # 2^19-entry × 2-float corner tables in parameter capacity
-    cfg, variables = _toy_problem(K=K, hash_log2=16, hash_levels=16)
+    # 2^19-entry × 2-float corner tables in parameter capacity.
+    # ACN_BENCH_HASH="L,F" overrides the level/feature split at equal width.
+    hl, hf = (os.environ.get("ACN_BENCH_HASH") or "16,2").split(",")
+    cfg, variables = _toy_problem(
+        K=K, hash_log2=16, hash_levels=int(hl), hash_features=int(hf)
+    )
 
     P = types.SimpleNamespace(
         algo="fomaml", inner_iter=INNER, inner_lr=0.015, ray_samples=RAY_SAMPLES,
