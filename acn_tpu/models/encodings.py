@@ -428,17 +428,17 @@ def _cell_saved_fwd_impl(tables, x01, cfg: HashGridConfig):
 from functools import partial
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _hash_encode_cell_saved(tables, x01, cfg):
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _hash_encode_cell_saved(tables, x01, cfg, nrows):
     return _cell_saved_fwd_impl(tables, x01, cfg)[0]
 
 
-def _saved_fwd(tables, x01, cfg):
+def _saved_fwd(tables, x01, cfg, nrows):
     out, (rows_l, h_l, frac_l) = _cell_saved_fwd_impl(tables, x01, cfg)
     return out, (rows_l, h_l, frac_l, x01)
 
 
-def _saved_bwd(cfg, res, g):
+def _saved_bwd(cfg, nrows, res, g):
     rows_l, h_l, frac_l, x01 = res
     F = cfg.features_per_level
     resolutions = cfg.level_resolutions()
@@ -462,8 +462,11 @@ def _saved_bwd(cfg, res, g):
         gw = (
             w[..., :, None].astype(g_l.dtype) * g_l[..., None, :]
         ).reshape(*w.shape[:-1], 8 * F)
+        # cotangent shape comes from the OPERAND (nrows, static at trace
+        # time), never cfg.level_rows: a restored checkpoint's ladder is
+        # authoritative over whatever config the caller reconstructed
         tab_grads.append(
-            jnp.zeros((cfg.level_rows(l), 8 * F), rows.dtype)
+            jnp.zeros((nrows[l], 8 * F), rows.dtype)
             .at[h].add(gw.astype(rows.dtype))
         )
 
@@ -501,8 +504,19 @@ def hash_encode_cell(table: Array, x01: Array, cfg: HashGridConfig) -> Array:
     Backward per ``cfg.cell_backward``: "save_rows" keeps the gathered rows
     as residuals (backward = scatter + elementwise, no re-gather); "remat"
     recomputes the forward in the backward pass (minimal memory)."""
+    got = tuple(int(t.shape[0]) for t in table)
+    want = tuple(cfg.level_rows(l) for l in range(cfg.levels))
+    if got != want:
+        raise ValueError(
+            "hash table rows do not match the config ladder (config "
+            f"expects {want}, tables have {got}) — usually a checkpoint "
+            "restored under a config whose log2_hashmap_size/max_res/"
+            "hash_dense_levels differ from the one it was trained with"
+        )
     if cfg.cell_backward == "save_rows" and cfg.interpolation != "Nearest":
-        return _hash_encode_cell_saved(table, x01, cfg)
+        return _hash_encode_cell_saved(
+            table, x01, cfg, tuple(int(t.shape[0]) for t in table)
+        )
     return jax.checkpoint(_hash_encode_cell_impl, static_argnums=(2,))(
         table, x01, cfg
     )

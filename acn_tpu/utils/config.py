@@ -321,10 +321,23 @@ def load_checkpoint_cfg(cfg_path: str) -> dict:
 
 
 def resolve_ckpt_cfg_path(checkpoint_path: str, prefix: str) -> Optional[str]:
-    for suffix in (f"{prefix}.P.json", f"{prefix}.P"):
-        p = os.path.join(checkpoint_path, suffix)
-        if os.path.exists(p):
-            return p
+    """Locate ``{prefix}.P.json`` (or the reference's ``.P``) for a checkpoint
+    given as a directory OR a bare run name — the same resolution the weight
+    loader applies (utils/checkpoint.py resolve_checkpoint_dir), so the
+    config layer can never silently diverge from the weights it describes."""
+    candidates = []
+    try:
+        from acn_tpu.utils.checkpoint import resolve_checkpoint_dir
+
+        candidates.append(resolve_checkpoint_dir(checkpoint_path))
+    except (FileNotFoundError, OSError):
+        pass
+    candidates.append(checkpoint_path)  # direct dir (cfg-only drops)
+    for d in candidates:
+        for suffix in (f"{prefix}.P.json", f"{prefix}.P"):
+            p = os.path.join(d, suffix)
+            if os.path.exists(p):
+                return p
     return None
 
 
