@@ -90,6 +90,39 @@ def render_expert_occ(
 
 
 
+def render_expert_occ_budget(
+    variables: Dict[str, Any],
+    occ_state: Dict[str, Any],  # single-expert occupancy state
+    cfg: ContainerConfig,
+    occ_cfg: OccConfig,
+    rays: Array,  # (N, 8)
+    *,
+    active_module: int,
+    s_max: int,
+    budget_per_ray: int,
+    alpha_thre: float = 0.0,
+    key: Optional[jax.Array] = None,
+    bg_rgb: Optional[Array] = None,
+    params_override=None,
+) -> Tuple[Array, Array, Array, Array]:
+    """Single-expert occupancy rendering over a global cross-ray sample
+    budget (the packed serving path of render_rays_occ_budget, restricted
+    to one expert's own grid — reference single-expert render:
+    ray_rendering.py:494-558). Returns (rgb_map, depth, extras, acc)."""
+    samples = occ_grid.march_rays_budget(
+        occ_state, rays, occ_cfg, s_max, budget_per_ray, key=key
+    )
+    out = cont.container_forward(
+        variables, cfg, samples["xd"], active_module=active_module,
+        params_override=params_override,
+    )
+    rgb_map, depth, acc, extras = composite_packed(
+        out[..., 3], out[..., :3], samples, rays.shape[0], bg_rgb=bg_rgb,
+        alpha_thre=alpha_thre,
+    )
+    return rgb_map, depth, extras, acc
+
+
 def _any_expert_valid_fn(occ_states, expert_aabbs):
     """(N, S, 3) → (N, S): a sample is valid if ANY expert's
     (AABB ∩ occupancy) claims it — the implicit segment union."""

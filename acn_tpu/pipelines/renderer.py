@@ -23,6 +23,7 @@ from acn_tpu.nerfs import rays as raylib
 from acn_tpu.nerfs.render import bg_default_color, render_rays_stratified
 from acn_tpu.nerfs.render_occ import (
     render_expert_occ,
+    render_expert_occ_budget,
     render_rays_occ,
     render_rays_occ_budget,
 )
@@ -131,6 +132,14 @@ class Renderer:
                     rgb, depth, weights, acc = render_rays_occ(
                         variables, occ_states, cfg, occ_cfg, rays, **common
                     )
+                elif budget > 0:
+                    occ_k = jax.tree.map(lambda a: a[active_module], occ_states)
+                    rgb, depth, weights, acc = render_expert_occ_budget(
+                        variables, occ_k, cfg, occ_cfg, rays,
+                        active_module=active_module, s_max=int(P.occ_s_max),
+                        budget_per_ray=budget, alpha_thre=occ_cfg.alpha_thre,
+                        key=k_render if randomized else None, bg_rgb=bg,
+                    )
                 else:
                     occ_k = jax.tree.map(lambda a: a[active_module], occ_states)
                     rgb, depth, weights, acc = render_expert_occ(
@@ -165,6 +174,11 @@ class Renderer:
         camera → rays → march → composite pipeline fuses into one XLA
         program (nothing the reference can do: its ray gen is torch on host,
         ray_sampling.py:111-136).
+
+        ``W`` here is the *crop* width: the chunk covers a (rows × W) pixel
+        block anchored at runtime offsets (row0, col0) — full frames use
+        col0=0 / W = image width; the routed per-expert path renders each
+        expert's image-space rectangle only.
         """
         key_ = ("frame", use_occ, active_module, W, rows,
                 int(ray_samples or self.P.ray_samples))
@@ -173,10 +187,11 @@ class Renderer:
 
         base = self._chunk_fn(use_occ, active_module, False, ray_samples)
 
-        def frame_chunk(variables, occ_states, c2w, intr, aabb, nf, row0, key):
+        def frame_chunk(variables, occ_states, c2w, intr, aabb, nf, row0,
+                        col0, key):
             fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
             j = (row0 + jnp.arange(rows, dtype=jnp.float32))[:, None] + 0.5
-            i = jnp.arange(W, dtype=jnp.float32)[None, :] + 0.5
+            i = (col0 + jnp.arange(W, dtype=jnp.float32))[None, :] + 0.5
             j = jnp.broadcast_to(j, (rows, W))
             i = jnp.broadcast_to(i, (rows, W))
             dirs = jnp.stack(
@@ -269,11 +284,15 @@ class Renderer:
         use_occ: Optional[bool] = None,
         near_far_override=None,
         ray_samples: Optional[int] = None,
+        download: bool = True,
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Full-frame render (reference render_image, ray_rendering.py:577-627),
         generating rays ON DEVICE (12-float pose upload per frame — see
         _frame_chunk_fn). Returns (rgb (H,W,3) linear [0,1], depth (H·W,),
-        acc (H·W,))."""
+        acc (H·W,)); with ``download=False`` the frame stays on device
+        (blocks until computed, returns ``(None, None, None)``) — separates
+        render compute from host-transfer bandwidth, which on the remote
+        tunnel is an environment artifact rather than a serving cost."""
         use_occ = (self.occ_cfg is not None) if use_occ is None else use_occ
         rows = max(self._chunk_size(use_occ) // W, 1)
         fn = self._frame_chunk_fn(use_occ, active_module, W, rows, ray_samples)
@@ -288,16 +307,21 @@ class Renderer:
         )
         key = key if key is not None else jax.random.PRNGKey(0)
 
-        rgb_out = np.zeros((H * W, 3), np.float32)
-        depth_out = np.zeros((H * W,), np.float32)
-        acc_out = np.zeros((H * W,), np.float32)
         pending = []
         for r0 in range(0, H, rows):  # dispatch all chunks, sync once
             key, k = jax.random.split(key)
             pending.append(
                 (r0, fn(variables, occ_states, c2w_j, intr_j, aabb_j, nf_j,
-                        jnp.float32(r0), k))
+                        jnp.float32(r0), jnp.float32(0.0), k))
             )
+        if not download:
+            for _, outs in pending:
+                for o in outs:
+                    o.block_until_ready()
+            return None, None, None
+        rgb_out = np.zeros((H * W, 3), np.float32)
+        depth_out = np.zeros((H * W,), np.float32)
+        acc_out = np.zeros((H * W,), np.float32)
         for r0, (rgb_u8, depth, acc) in pending:
             s, e = r0 * W, min((r0 + rows) * W, H * W)
             rgb_out[s:e] = np.asarray(rgb_u8)[: e - s].astype(np.float32) / 255.0
@@ -305,3 +329,170 @@ class Renderer:
             acc_out[s:e] = np.asarray(acc)[: e - s].astype(np.float32)
         rgb = np.clip(rgb_out, 0.0, 1.0).reshape(H, W, 3)
         return rgb, depth_out, acc_out
+
+    # ---------------- routed (per-expert rect) frame rendering ----------------
+
+    @staticmethod
+    def _expert_rects(expert_aabbs: np.ndarray, c2w, intrinsics, H: int,
+                      W: int, pad_px: int) -> np.ndarray:
+        """Project each expert's AABB into the image → conservative pixel
+        rects (K, 4) [r0, r1, c0, c1) (half-open), padded by ``pad_px`` and
+        clipped. An AABB with corners behind (or straddling) the camera
+        plane projects to the full frame."""
+        c2w = np.asarray(c2w, np.float32)
+        R, t = c2w[:3, :3], c2w[:3, 3]
+        fx, fy, cx, cy = [float(v) for v in np.asarray(intrinsics[:4])]
+        rects = np.zeros((expert_aabbs.shape[0], 4), np.int64)
+        for k, ab in enumerate(np.asarray(expert_aabbs, np.float32)):
+            lo, hi = ab[0], ab[1]
+            corners = np.array(
+                [[x, y, z] for x in (lo[0], hi[0]) for y in (lo[1], hi[1])
+                 for z in (lo[2], hi[2])], np.float32
+            )
+            cam = (corners - t) @ R  # R^T (X - t), row-vector form
+            zneg = -cam[:, 2]
+            inside = np.all(corners.min(0) <= t) and np.all(t <= corners.max(0))
+            if inside or np.any(zneg <= 1e-6):
+                rects[k] = (0, H, 0, W)  # conservative: full frame
+                continue
+            i = cx + fx * cam[:, 0] / zneg
+            j = cy - fy * cam[:, 1] / zneg
+            rects[k] = (
+                max(int(np.floor(j.min())) - pad_px, 0),
+                min(int(np.ceil(j.max())) + 1 + pad_px, H),
+                max(int(np.floor(i.min())) - pad_px, 0),
+                min(int(np.ceil(i.max())) + 1 + pad_px, W),
+            )
+        return rects
+
+    @staticmethod
+    def _feather_weights(rect, H, W, blend_px: int) -> np.ndarray:
+        """(rows, cols) stitching weights for one rect: 1 in the interior,
+        linear ramp to 0 over ``blend_px`` at rect edges that are not image
+        borders."""
+        r0, r1, c0, c1 = [int(v) for v in rect]
+        rr = np.arange(r0, r1, dtype=np.float32)
+        cc = np.arange(c0, c1, dtype=np.float32)
+        one_r = np.ones_like(rr)
+        one_c = np.ones_like(cc)
+        b = max(float(blend_px), 1.0)
+        wr_lo = one_r if r0 <= 0 else np.clip((rr - r0 + 1.0) / b, 0.0, 1.0)
+        wr_hi = one_r if r1 >= H else np.clip((r1 - rr) / b, 0.0, 1.0)
+        wc_lo = one_c if c0 <= 0 else np.clip((cc - c0 + 1.0) / b, 0.0, 1.0)
+        wc_hi = one_c if c1 >= W else np.clip((c1 - cc) / b, 0.0, 1.0)
+        return np.minimum(wr_lo, wr_hi)[:, None] * np.minimum(wc_lo, wc_hi)[None, :]
+
+    def render_image_routed(
+        self,
+        variables,
+        occ_states,
+        *,
+        H: int,
+        W: int,
+        intrinsics,
+        c2w,
+        aabb,
+        key: Optional[jax.Array] = None,
+        use_occ: Optional[bool] = None,
+        near_far_override=None,
+        ray_samples: Optional[int] = None,
+        download: bool = True,
+        blend_px: int = 32,
+        expert_aabbs: Optional[np.ndarray] = None,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Full-frame render via per-expert image-rect dispatch.
+
+        The dense soft-MoE frame path evaluates ALL K experts at every
+        sample; with a 2×2 city grid ~4× of that work is off-region. Here
+        each expert renders only the image rectangle its (margined) AABB
+        projects to — single-expert evaluation, so hash/MLP row traffic per
+        pixel drops K× — and overlapping rects are feather-blended on the
+        host. This is the TPU-shaped analogue of the reference's per-region
+        ray dispatch (masks route rays to their region's expert,
+        pipelines/online_stage/runtime_adapt.py + viewer region preview);
+        the soft-MoE path (`render_image`) remains the eval-parity
+        instrument. With identical expert params the two paths agree to
+        float tolerance (tests/test_renderer_routed.py)."""
+        use_occ = (self.occ_cfg is not None) if use_occ is None else use_occ
+        if expert_aabbs is None:
+            expert_aabbs = np.asarray(variables["buffers"]["expert_aabbs"])
+        K = expert_aabbs.shape[0]
+        rects = self._expert_rects(expert_aabbs, c2w, intrinsics, H, W,
+                                   pad_px=blend_px)
+
+        # cover pixels no rect claims (rays that miss every region see pure
+        # background): widest rect goes full-frame
+        ws = np.zeros((H, W), np.float32)
+        for k in range(K):
+            r0, r1, c0, c1 = rects[k]
+            ws[r0:r1, c0:c1] += 1.0
+        if (ws <= 0).any():
+            areas = (rects[:, 1] - rects[:, 0]) * (rects[:, 3] - rects[:, 2])
+            rects[int(np.argmax(areas))] = (0, H, 0, W)
+
+        c2w_j = jnp.asarray(np.asarray(c2w, np.float32))
+        intr_j = jnp.asarray(np.asarray(intrinsics[:4], np.float32))
+        aabb_j = jnp.asarray(np.asarray(aabb, np.float32))
+        n_o, f_o = (near_far_override or (None, None))
+        nf_j = jnp.asarray(
+            [n_o if n_o is not None else -np.inf,
+             f_o if f_o is not None else np.inf], jnp.float32
+        )
+        key = key if key is not None else jax.random.PRNGKey(0)
+        # single-expert chunks carry K× more rays: only one expert evaluates
+        chunk = self._chunk_size(use_occ) * max(self.cfg.num_submodules, 1)
+
+        pending = []  # (k, r0, rows_this, c0, W_crop, outs)
+        for k in range(K):
+            r0k, r1k, c0k, c1k = [int(v) for v in rects[k]]
+            if r1k <= r0k or c1k <= c0k:
+                continue
+            # quantize crop width to bound the number of distinct jitted
+            # programs (128-px steps), re-anchoring so the crop stays inside
+            W_crop = min(W, int(np.ceil((c1k - c0k) / 128.0)) * 128)
+            c0k = max(0, min(c0k, W - W_crop))
+            rows = max(chunk // W_crop, 1)
+            fn = self._frame_chunk_fn(use_occ, k, W_crop, rows, ray_samples)
+            for r0 in range(r0k, r1k, rows):
+                key, kk = jax.random.split(key)
+                pending.append(
+                    (k, r0, min(rows, r1k - r0), c0k, W_crop,
+                     fn(variables, occ_states, c2w_j, intr_j, aabb_j, nf_j,
+                        jnp.float32(r0), jnp.float32(c0k), kk))
+                )
+        if not download:
+            for *_, outs in pending:
+                for o in outs:
+                    o.block_until_ready()
+            return None, None, None
+
+        rgb_acc = np.zeros((H, W, 3), np.float32)
+        depth_acc = np.zeros((H, W), np.float32)
+        acc_acc = np.zeros((H, W), np.float32)
+        w_acc = np.zeros((H, W), np.float32)
+        feathers = {k: self._feather_weights(rects[k], H, W, blend_px)
+                    for k in range(K)}
+        for k, r0, rows_this, c0, W_crop, (rgb_u8, depth, acc) in pending:
+            rgb = np.asarray(rgb_u8).astype(np.float32) / 255.0
+            rgb = rgb.reshape(-1, W_crop, 3)[:rows_this]
+            dep = np.asarray(depth).astype(np.float32).reshape(-1, W_crop)[:rows_this]
+            ac = np.asarray(acc).astype(np.float32).reshape(-1, W_crop)[:rows_this]
+            fr0, _, fc0, fc1 = [int(v) for v in rects[k]]
+            w = feathers[k][r0 - fr0:r0 - fr0 + rows_this]
+            # the quantized crop may extend past the feather rect on either
+            # side — accumulate only the rect's own columns
+            cw0 = max(c0, fc0)
+            cw1 = min(c0 + W_crop, fc1)
+            wslice = w[:, cw0 - fc0:cw1 - fc0]
+            sl_r = slice(r0, r0 + rows_this)
+            sl_c = slice(cw0, cw1)
+            src_c = slice(cw0 - c0, cw1 - c0)
+            rgb_acc[sl_r, sl_c] += wslice[..., None] * rgb[:, src_c]
+            depth_acc[sl_r, sl_c] += wslice * dep[:, src_c]
+            acc_acc[sl_r, sl_c] += wslice * ac[:, src_c]
+            w_acc[sl_r, sl_c] += wslice
+        wsafe = np.maximum(w_acc, 1e-8)[..., None]
+        rgb = np.clip(rgb_acc / wsafe, 0.0, 1.0)
+        depth = (depth_acc / wsafe[..., 0]).reshape(-1)
+        acc = (acc_acc / wsafe[..., 0]).reshape(-1)
+        return rgb, depth, acc

@@ -51,11 +51,18 @@ def main(argv=None):
     ap.add_argument("--prefix", type=str, default="best")
     ap.add_argument("--occupancy_frac", type=float, default=0.10)
     ap.add_argument("--occ_budget_per_ray", type=int, default=24)
+    ap.add_argument("--hash", type=int, nargs=2, default=(8, 4),
+                    metavar=("LEVELS", "FEATURES"))
+    ap.add_argument("--skip", type=str, default="",
+                    help="comma-separated regimes to skip")
     args = ap.parse_args(argv)
 
     H, W = args.hw
     K = 4
-    cfg, variables = _toy_problem(K=K, hash_log2=17, hash_levels=16)
+    cfg, variables = _toy_problem(
+        K=K, hash_log2=17, hash_levels=args.hash[0],
+        hash_features=args.hash[1],
+    )
     occ_cfg = OccConfig(resolution=128, levels=1, near_plane=1e-3,
                         far_plane=1e3)
     aabb = jnp.asarray([[-1, -1, -1], [1, 1, 1]], jnp.float32)
@@ -70,6 +77,20 @@ def main(argv=None):
 
     occ_states = jax.tree.map(
         lambda *xs: jnp.stack(xs), *[occ_state_k(i) for i in range(K)]
+    )
+
+    # quadrant expert AABBs (2×2 city grid with ~10% boundary overlap, the
+    # drz layout) so the routed per-expert rect dispatch has real geometry
+    quad = []
+    for iy in (-1, 1):
+        for iz in (-1, 1):
+            lo = [-1.0, min(0.1 * iy, float(iy)), min(0.1 * iz, float(iz))]
+            hi = [1.0, max(0.1 * iy, float(iy)), max(0.1 * iz, float(iz))]
+            quad.append([lo, hi])
+    variables["buffers"]["expert_aabbs"] = jnp.asarray(quad, jnp.float32)
+    variables["buffers"]["centroids"] = jnp.asarray(
+        [[0.0, 0.55 * iy, 0.55 * iz] for iy in (-1, 1) for iz in (-1, 1)],
+        jnp.float32,
     )
 
     def make_renderer(budget):
@@ -93,27 +114,51 @@ def main(argv=None):
     intr = np.array([fy, fy, W / 2, H / 2], np.float32)
 
     out = {}
-    regimes = [("occ", True, 0), ("occ_budget", True, args.occ_budget_per_ray),
-               ("stratified", False, 0)]
-    for regime, use_occ, budget in regimes:
+    # (name, use_occ, budget_per_ray, (H, W)); "preview" regimes mirror the
+    # reference viewer's motion-preview sampling (halved sample count,
+    # viewer.py:112-113) via a tight per-ray budget, full and half res.
+    pH, pW = H // 2, W // 2
+    # (name, use_occ, budget/ray, (H, W), routed?) — "routed" renders each
+    # expert only over its image-rect (render_image_routed); "preview"
+    # regimes mirror the reference viewer's motion-preview sampling
+    # (viewer.py:112-113) via a tight per-ray budget, full and half res.
+    regimes = [
+        ("occ", True, 0, (H, W), False),
+        ("occ_budget", True, args.occ_budget_per_ray, (H, W), False),
+        ("stratified", False, 0, (H, W), False),
+        ("routed_budget", True, args.occ_budget_per_ray, (H, W), True),
+        ("preview", True, 8, (H, W), True),
+        ("preview_half_res", True, 8, (pH, pW), True),
+    ]
+    skip = {s for s in args.skip.split(",") if s}
+    for regime, use_occ, budget, (h, w), routed in regimes:
+        if regime in skip:
+            continue
         renderer = make_renderer(budget)
-        # warm / compile
-        renderer.render_image(
-            variables, occ_states, H=H, W=W, intrinsics=intr, c2w=c2w,
-            aabb=np.asarray(aabb), use_occ=use_occ,
-        )
+        intr_s = intr * (h / H)  # fx, fy, cx, cy all scale with resolution
+        kw = dict(H=h, W=w, intrinsics=intr_s, c2w=c2w,
+                  aabb=np.asarray(aabb), use_occ=use_occ)
+        render = (renderer.render_image_routed if routed
+                  else renderer.render_image)
+        render(variables, occ_states, **kw)  # warm / compile
+        # compute-only FPS: frame stays on device (host download through the
+        # remote tunnel is an environment artifact, not a serving cost)
         t0 = time.perf_counter()
         for _ in range(args.frames):
-            rgb, _, _ = renderer.render_image(
-                variables, occ_states, H=H, W=W, intrinsics=intr, c2w=c2w,
-                aabb=np.asarray(aabb), use_occ=use_occ,
-            )
+            render(variables, occ_states, download=False, **kw)
         dt = (time.perf_counter() - t0) / args.frames
+        # end-to-end (incl. u8/f16 frame download)
+        t0 = time.perf_counter()
+        rgb, _, _ = render(variables, occ_states, **kw)
+        dt_e2e = time.perf_counter() - t0
         out[f"{regime}_fps"] = round(1.0 / dt, 2)
         out[f"{regime}_ms_per_frame"] = round(dt * 1e3, 1)
+        out[f"{regime}_ms_e2e"] = round(dt_e2e * 1e3, 1)
+        print(json.dumps({regime: out[f"{regime}_fps"]}))  # progress line
 
     out.update({"H": H, "W": W, "ray_samples": args.ray_samples,
-                "occ_s_kept": args.occ_s_kept})
+                "occ_s_kept": args.occ_s_kept,
+                "hash": list(args.hash)})
     print(json.dumps(out))
 
 

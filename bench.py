@@ -79,10 +79,12 @@ def main():
     INNER = 8
     RAY_SAMPLES = 96
 
-    # cell-layout tables: 2^16 rows × 16 floats/level ≈ the reference's
-    # 2^19-entry × 2-float corner tables in parameter capacity.
-    # ACN_BENCH_HASH="L,F" overrides the level/feature split at equal width.
-    hl, hf = (os.environ.get("ACN_BENCH_HASH") or "16,2").split(",")
+    # cell-layout tables ≈ the reference's 2^19-entry × 2-float corner
+    # tables in parameter capacity. Default split L8/F4: equal encoding
+    # width (32) and capacity as L16/F2 but half the gather/scatter rows —
+    # the 800-step drz ablation (BASELINE.md) trains ≥ L16/F2 quality at
+    # 2× the throughput. ACN_BENCH_HASH="L,F" overrides.
+    hl, hf = (os.environ.get("ACN_BENCH_HASH") or "8,4").split(",")
     cfg, variables = _toy_problem(
         K=K, hash_log2=16, hash_levels=int(hl), hash_features=int(hf)
     )
