@@ -50,7 +50,13 @@ def ssim(
 ) -> Array:
     """Single-scale SSIM with a Gaussian window (standard Wang et al. 2004
     formulation; fills the role of pytorch-msssim in the reference's eval,
-    reference online_stage/runtime_adapt.py:158-167)."""
+    reference online_stage/runtime_adapt.py:158-167).
+
+    The blur MUST accumulate in float32: TPU convs default to bf16, whose
+    ~3-digit mantissa corrupts the E[x²]−μ² variance terms past the c2
+    stabilizer — windows then divide by negative variance and SSIM escapes
+    its mathematical [-1, 1] range (observed −5.4 on a near-constant
+    prediction). ``Precision.HIGHEST`` pins f32 accumulation."""
     import jax
 
     hw = filter_size // 2
@@ -58,19 +64,15 @@ def ssim(
     g = jnp.exp(-0.5 * (offsets / filter_sigma) ** 2)
     g = g / jnp.sum(g)
 
-    def _filt(img):  # separable blur over H and W, per channel
-        x = jnp.moveaxis(img, -1, 0)  # (C, H, W)
-        x = jax.vmap(
-            lambda ch: jnp.apply_along_axis(
-                lambda row: jnp.convolve(row, g, mode="valid"), 1, ch
+    def _filt(img):  # separable Gaussian blur over H and W, per channel
+        x = jnp.moveaxis(img.astype(jnp.float32), -1, 0)[:, None]  # (C,1,H,W)
+        dn = ("NCHW", "OIHW", "NCHW")
+        for kern in (g[None, None, :, None], g[None, None, None, :]):
+            x = jax.lax.conv_general_dilated(
+                x, kern, (1, 1), "VALID", dimension_numbers=dn,
+                precision=jax.lax.Precision.HIGHEST,
             )
-        )(x)
-        x = jax.vmap(
-            lambda ch: jnp.apply_along_axis(
-                lambda col: jnp.convolve(col, g, mode="valid"), 0, ch
-            )
-        )(x)
-        return jnp.moveaxis(x, 0, -1)
+        return jnp.moveaxis(x[:, 0], 0, -1)
 
     mu0 = _filt(img0)
     mu1 = _filt(img1)

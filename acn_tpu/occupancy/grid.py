@@ -396,64 +396,85 @@ def march_rays_budget(
     far = jnp.minimum(far, cfg.far_plane)
     far = jnp.maximum(far, near)
 
+    N = rays.shape[0]
+    B = N * int(budget_per_ray)
+
+    # Everything on the dense (N, s_max) side must stay O(rows × 4 B): at
+    # frame scale (N ≈ 500k, s_max 256 ⇒ 126M bins/chunk) an earlier version
+    # scattered a 9-column f32 payload (x, d, t0, t1, rid) through the pack —
+    # 4.4 GB of scatter traffic, ~14 s/chunk on v5e. Instead the pack
+    # scatters ONE int32 flat index per kept sample and the B packed rows
+    # reconstruct their geometry from (ray, slot) arithmetic; per-bin jitter
+    # comes from a counter hash so the reconstruction reproduces the exact
+    # jittered point the validity test sampled without materializing an
+    # (N, s_max) uniform tensor.
+    def _u01(idx, salt):  # idx int32 (...,) → deterministic U[0,1)
+        h = (idx.astype(jnp.uint32) + salt) * jnp.uint32(0x9E3779B1)
+        h = (h ^ (h >> jnp.uint32(16))) * jnp.uint32(0x85EBCA6B)
+        h = (h ^ (h >> jnp.uint32(13))) * jnp.uint32(0xC2B2AE35)
+        h = h ^ (h >> jnp.uint32(16))
+        return (h >> jnp.uint32(8)).astype(jnp.float32) * (1.0 / (1 << 24))
+
     e = jnp.linspace(0.0, 1.0, s_max + 1, dtype=jnp.float32)[None, :]
     edges = near[:, None] * (1.0 - e) + far[:, None] * e
     t0, t1 = edges[:, :-1], edges[:, 1:]
+    flat_ids = (
+        jnp.arange(N, dtype=jnp.int32)[:, None] * s_max
+        + jnp.arange(s_max, dtype=jnp.int32)[None, :]
+    )  # (N, s_max); N·s_max must stay < 2^31 (2M rays × 256 bins is fine)
     if key is not None:
-        u = jax.random.uniform(key, t0.shape, dtype=jnp.float32)
+        salt = jax.random.randint(
+            key, (), 0, jnp.iinfo(jnp.int32).max
+        ).astype(jnp.uint32)
+        u = _u01(flat_ids, salt)
     else:
-        u = 0.5
+        salt, u = None, 0.5
     t_s = t0 + u * (t1 - t0)
-    x = o[:, None, :] + d[:, None, :] * t_s[..., None]  # (N, s_max, 3)
+    x = o[:, None, :] + d[:, None, :] * t_s[..., None]  # (N, s_max, 3), fused
 
     valid = (t1 > t0) & occupancy_lookup(state, x)
     if extra_valid_fn is not None:
         valid = valid & extra_valid_fn(x)
 
-    N = rays.shape[0]
-    B = N * int(budget_per_ray)
-    flat_valid = valid.reshape(-1)
-    gpos_incl = jnp.cumsum(flat_valid.astype(jnp.int32))
-    gpos = (gpos_incl - 1).reshape(N, s_max)  # rank among valid samples
-    n_valid = gpos_incl[-1]
+    # two-level prefix sum (minor-axis scan + tiny (N,) scan) — a flat
+    # N·s_max global cumsum is a multi-pass scan over the whole buffer
+    counts = jnp.sum(valid, axis=1, dtype=jnp.int32)  # (N,)
+    ray_start = jnp.cumsum(counts) - counts  # exclusive, (N,)
+    rank = jnp.cumsum(valid, axis=1, dtype=jnp.int32) - 1  # within-ray
+    gpos = ray_start[:, None] + rank  # global rank among valid samples
+    n_valid = ray_start[-1] + counts[-1]
 
-    keep = flat_valid & (gpos.reshape(-1) < B)
-    slot = jnp.where(keep, gpos.reshape(-1), B)  # B ⇒ dropped
-    # one scatter carries positions AND the compositing metadata — TPU
-    # scatters are row-count-bound, so the extra columns are free
-    rid = jnp.broadcast_to(
-        jnp.arange(N, dtype=jnp.float32)[:, None], (N, s_max)
+    keep = valid & (gpos < B)
+    slot = jnp.where(keep, gpos, B).reshape(-1)  # B ⇒ dropped
+    buffer_idx = (
+        jnp.zeros((B,), jnp.int32).at[slot].set(flat_ids.reshape(-1),
+                                                mode="drop")
     )
-    payload = jnp.concatenate(
-        [
-            x.reshape(-1, 3),
-            jnp.broadcast_to(d[:, None, :], x.shape).reshape(-1, 3),
-            t0.reshape(-1, 1),
-            t1.reshape(-1, 1),
-            rid.reshape(-1, 1),
-        ],
-        axis=-1,
-    )  # (N·s_max, 9)
-    buffer = jnp.zeros((B, 9), jnp.float32).at[slot].set(payload, mode="drop")
 
-    # ray-major packing ⇒ each ray's packed slots are contiguous, starting at
-    # the exclusive cumsum of per-ray valid counts (composite_packed's
-    # segment boundaries)
-    counts = jnp.sum(valid, axis=1).astype(jnp.int32)
-    ray_start = jnp.cumsum(counts) - counts
+    # B-row geometry reconstruction (elementwise, O(B))
+    rid = buffer_idx // s_max
+    sl = buffer_idx - rid * s_max
+    nr, fr = near[rid], far[rid]
+    inv_s = jnp.float32(1.0 / s_max)
+    e0 = sl.astype(jnp.float32) * inv_s
+    e1 = e0 + inv_s
+    t0_b = nr * (1.0 - e0) + fr * e0
+    t1_b = nr * (1.0 - e1) + fr * e1
+    u_b = _u01(buffer_idx, salt) if salt is not None else 0.5
+    t_sb = t0_b + u_b * (t1_b - t0_b)
+    xd = jnp.concatenate([o[rid] + d[rid] * t_sb[:, None], d[rid]], axis=-1)
+
     slot_real = jnp.arange(B, dtype=jnp.int32) < jnp.minimum(n_valid, B)
-
-    in_budget = valid & (gpos < B)
     overflow = jnp.maximum(n_valid - B, 0) / jnp.maximum(n_valid, 1)
     return {
-        "xd": buffer[:, :6],
-        "t0_b": buffer[:, 6],
-        "t1_b": buffer[:, 7],
-        "ray_id": buffer[:, 8].astype(jnp.int32),
+        "xd": xd,
+        "t0_b": t0_b,
+        "t1_b": t1_b,
+        "ray_id": rid,
         "slot_real": slot_real,
         "ray_start": ray_start,
         "gpos": gpos,
-        "valid": in_budget,
+        "valid": keep,
         "t_starts": t0,
         "t_ends": t1,
         "overflow": overflow,

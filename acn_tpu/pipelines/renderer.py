@@ -85,6 +85,10 @@ class Renderer:
         # sample count (viewer preview = half samples, reference
         # viewer.py:112-113)
         occ_kept = min(int(P.occ_s_kept), max(ray_samples, 8))
+        # render-time bin resolution: the march touches N·s_max bins per
+        # chunk, which dominates frame cost at tight budgets — serving paths
+        # may march coarser bins than the eval-parity instrument
+        s_max_r = int(getattr(P, "occ_render_s_max", 0) or 0) or int(P.occ_s_max)
 
         def render_chunk(variables, occ_states, rays, key):
             n = rays.shape[0]
@@ -114,7 +118,7 @@ class Renderer:
                 )
             else:
                 common = dict(
-                    s_max=int(P.occ_s_max),
+                    s_max=s_max_r,
                     s_kept=occ_kept,
                     alpha_thre=occ_cfg.alpha_thre,
                     key=k_render if randomized else None,
@@ -124,7 +128,7 @@ class Renderer:
                 if active_module is None and budget > 0:
                     rgb, depth, weights, acc = render_rays_occ_budget(
                         variables, occ_states, cfg, occ_cfg, rays,
-                        s_max=int(P.occ_s_max), budget_per_ray=budget,
+                        s_max=s_max_r, budget_per_ray=budget,
                         alpha_thre=occ_cfg.alpha_thre,
                         key=k_render if randomized else None, bg_rgb=bg,
                     )
@@ -136,7 +140,7 @@ class Renderer:
                     occ_k = jax.tree.map(lambda a: a[active_module], occ_states)
                     rgb, depth, weights, acc = render_expert_occ_budget(
                         variables, occ_k, cfg, occ_cfg, rays,
-                        active_module=active_module, s_max=int(P.occ_s_max),
+                        active_module=active_module, s_max=s_max_r,
                         budget_per_ray=budget, alpha_thre=occ_cfg.alpha_thre,
                         key=k_render if randomized else None, bg_rgb=bg,
                     )

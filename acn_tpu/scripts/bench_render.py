@@ -93,12 +93,12 @@ def main(argv=None):
         jnp.float32,
     )
 
-    def make_renderer(budget):
+    def make_renderer(budget, render_s_max=0):
         P = types.SimpleNamespace(
             ray_samples=args.ray_samples, chunk_points=args.chunk_points,
             bg_color_default="white", occ_s_max=args.occ_s_max,
             occ_s_kept=args.occ_s_kept, use_amp=True,
-            occ_budget_per_ray=budget,
+            occ_budget_per_ray=budget, occ_render_s_max=render_s_max,
         )
         return Renderer(cfg, P, occ_cfg)
 
@@ -122,19 +122,24 @@ def main(argv=None):
     # expert only over its image-rect (render_image_routed); "preview"
     # regimes mirror the reference viewer's motion-preview sampling
     # (viewer.py:112-113) via a tight per-ray budget, full and half res.
+    # serving-path regimes first: if a bounded run times out in the dense
+    # parity instruments (occ/stratified full-res, known ~100× slower), the
+    # numbers that matter for the 30 FPS target are already printed.
+    # Serving regimes march coarse bins (occ_render_s_max): the march's
+    # N·s_max bin tests dominate frame time at tight eval budgets.
     regimes = [
-        ("occ", True, 0, (H, W), False),
-        ("occ_budget", True, args.occ_budget_per_ray, (H, W), False),
-        ("stratified", False, 0, (H, W), False),
-        ("routed_budget", True, args.occ_budget_per_ray, (H, W), True),
-        ("preview", True, 8, (H, W), True),
-        ("preview_half_res", True, 8, (pH, pW), True),
+        ("preview_half_res", True, 8, (pH, pW), True, 64),
+        ("preview", True, 8, (H, W), True, 64),
+        ("routed_budget", True, args.occ_budget_per_ray, (H, W), True, 128),
+        ("occ_budget", True, args.occ_budget_per_ray, (H, W), False, 128),
+        ("occ", True, 0, (H, W), False, 0),
+        ("stratified", False, 0, (H, W), False, 0),
     ]
     skip = {s for s in args.skip.split(",") if s}
-    for regime, use_occ, budget, (h, w), routed in regimes:
+    for regime, use_occ, budget, (h, w), routed, rsm in regimes:
         if regime in skip:
             continue
-        renderer = make_renderer(budget)
+        renderer = make_renderer(budget, rsm)
         intr_s = intr * (h / H)  # fx, fy, cx, cy all scale with resolution
         kw = dict(H=h, W=w, intrinsics=intr_s, c2w=c2w,
                   aabb=np.asarray(aabb), use_occ=use_occ)

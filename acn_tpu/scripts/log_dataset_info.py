@@ -107,6 +107,14 @@ def dataset_info(data_path: Path) -> str:
                 f"t.{name:<5} quantiles {q}: "
                 + " ".join(f"{v:+.4f}" for v in vals)
             )
+        # normalization audit (reference :245-249): every camera must land
+        # inside the unit cube or ray near/far planes clip wrong
+        oor = int((np.abs(t) > 1.0001).any(axis=1).sum())
+        if oor:
+            lines.append(
+                f"WARNING: {oor} camera translations fall outside [-1,1] "
+                "after normalization"
+            )
 
         # scene extent + camera baselines (reference :215-310)
         ext = t.max(0) - t.min(0)
@@ -149,9 +157,29 @@ def dataset_info(data_path: Path) -> str:
             + np.array2string(fwd.mean(0), precision=3)
         )
         # tilt-from-nadir distribution (aerial capture audit): angle between
-        # the camera forward and straight Down
+        # the camera forward and straight Down. Banded histogram + yaw
+        # heading stats follow the reference's attitude audit (:305-345)
         tilt = np.degrees(np.arccos(np.clip(fwd_drb[:, 0], -1, 1)))
         lines.append(f"tilt from nadir (deg): {rng_mean_std(tilt)}")
+        bands = [0, 5, 15, 30, 45, 60, 180]
+        hist, _ = np.histogram(tilt, bands)
+        lines.append(
+            "pitch bands: "
+            + ", ".join(
+                f"{lo}-{hi}° {100.0 * n / max(len(tilt), 1):.1f}%"
+                for lo, hi, n in zip(bands[:-1], bands[1:], hist)
+            )
+        )
+        yaw = np.degrees(np.arctan2(fwd_drb[:, 2], fwd_drb[:, 1]))
+        lines.append(f"yaw heading (deg, atan2(Back,Right)): "
+                     f"mean {yaw.mean():+.2f} std {yaw.std():.2f}")
+        # principal-point offset from image center (reference :360-369)
+        cx_rel = np.abs(cx / np.maximum(W, 1e-8) - 0.5).mean()
+        cy_rel = np.abs(cy / np.maximum(H, 1e-8) - 0.5).mean()
+        lines.append(
+            f"principal point offset (mean abs): |cx/W-0.5|={cx_rel:.4f}, "
+            f"|cy/H-0.5|={cy_rel:.4f}"
+        )
         # altitude-band sanity: the scene's altitude band (from points3D at
         # prepare time) must sit BELOW every camera, or rays near nadir have
         # inverted near/far

@@ -195,6 +195,13 @@ def build_parser() -> argparse.ArgumentParser:
                              "capacity-style packing; 0 = per-ray s_kept "
                              "layout). Unmasks the full data-dependent "
                              "sparsity of a sharp occupancy grid")
+    parser.add_argument("--occ_render_s_max", type=int, default=0,
+                        help="march bins per ray for RENDERING (viewer/video/"
+                             "serving). The march cost is N*s_max bins per "
+                             "frame chunk and dominates at tight budgets; "
+                             "coarser render bins trade sampling resolution "
+                             "for FPS. 0 = occ_s_max (the eval-parity "
+                             "instrument)")
     parser.add_argument("--occ_warmup", type=int, default=256,
                         help="steps of stratified warmup before the occupancy "
                              "renderer takes over (reference meta_ngp.py:131)")

@@ -200,6 +200,20 @@ def test_ssim_identity_and_noise():
     assert float(ssim(img, noisy)) < 0.9
 
 
+def test_ssim_stays_in_range_on_near_constant_pred():
+    # regression: a near-constant prediction against a structured GT used to
+    # read ±5 under low-precision conv accumulation (negative window
+    # variances past the c2 stabilizer); SSIM is mathematically in [-1, 1]
+    key = jax.random.PRNGKey(2)
+    gt = (jax.random.uniform(key, (96, 128, 3)) > 0.5).astype(jnp.float32)
+    pred = 0.5 + 0.02 * jax.random.uniform(jax.random.PRNGKey(3), gt.shape)
+    v = float(ssim(pred, gt))
+    assert -1.0 <= v <= 1.0
+    # bf16 inputs (the AMP render path) must not degrade the accumulation
+    v16 = float(ssim(pred.astype(jnp.bfloat16), gt.astype(jnp.bfloat16)))
+    assert abs(v16 - v) < 0.05 and -1.0 <= v16 <= 1.0
+
+
 def test_trunc_exp_value_and_grad():
     x = jnp.array([-1.0, 0.0, 1.0, 200.0])
     y = trunc_exp(x)
