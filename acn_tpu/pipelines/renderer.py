@@ -455,7 +455,12 @@ class Renderer:
             # programs (128-px steps), re-anchoring so the crop stays inside
             W_crop = min(W, int(np.ceil((c1k - c0k) / 128.0)) * 128)
             c0k = max(0, min(c0k, W - W_crop))
+            # chunk rows: bounded by the eval budget AND by the rect height
+            # (quantized to 64-row steps) — a 290-row rect must not pay for a
+            # full 976-row chunk of mostly off-rect rays (measured 3× frame
+            # waste at preview res)
             rows = max(chunk // W_crop, 1)
+            rows = min(rows, int(np.ceil((r1k - r0k) / 64.0)) * 64)
             fn = self._frame_chunk_fn(use_occ, k, W_crop, rows, ray_samples)
             for r0 in range(r0k, r1k, rows):
                 key, kk = jax.random.split(key)
