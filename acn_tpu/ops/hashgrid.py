@@ -34,11 +34,20 @@ express a large-table random row gather:
   take_along_axis-style batched gathers with operand-shaped indices, and the
   Mosaic backend crashed compiling even an (8192, 16) instance — the
   hardware primitive is a vreg-local shuffle, not a table lookup;
-* per-row DMA would cost one descriptor per 8–64 B row.
+* per-row DMA (``make_async_copy(table.at[idx], …)`` per row) is
+  expressible but issue-latency-bound: each descriptor costs ~µs of
+  scalar-core + DMA-engine setup, capping a row-per-DMA kernel at well
+  under ~1M rows/s — two orders of magnitude below XLA's gather emitter.
 
-XLA's native gather/scatter emitters are the TPU's real lookup engine; the
-layout work above is how we ride them. A future SparseCore-equipped platform
-(or Mosaic gaining real VMEM gathers) would slot in under
+And the XLA emitter is already at the *true* roofline for this access
+pattern: random 8–64 B rows are HBM-transaction-granularity-bound (one
+~512 B transaction per touched row regardless of row width — which is
+exactly why the measured rate is row-count-bound and width-independent).
+220–360 M rows/s × 512 B/transaction ≈ 110–185 GB/s of raw transaction
+traffic against ~250 GB/s of stream bandwidth: there is no >2× latent in a
+hand-written kernel; the wins live in ROW COUNT (the layout work above)
+and row locality, not in the lookup loop. A future SparseCore-equipped
+platform (or Mosaic gaining real VMEM gathers) would slot in under
 ``HashGridConfig.backend = "pallas"`` via this module.
 """
 
