@@ -239,6 +239,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     parser.add_argument("--max_test_tasks", type=int, default=4)
     parser.add_argument("--grad_clip", type=float, default=1.0)
+    parser.add_argument("--guard_nonfinite", type=int, default=0,
+                        help="skip (rather than apply) any outer update whose "
+                             "grads contain NaN/Inf — the reference's meta-"
+                             "update guard (meta_core.py:124-126). Changes "
+                             "the optimizer-state pytree: pick per run, not "
+                             "mid-resume")
 
     # --- eval
     parser.add_argument("--tto", type=str, default="16")

@@ -68,7 +68,13 @@ def build_optimizer(
     }
     opt = optax.multi_transform(transforms, group_labels)
     if grad_clip is not None:
-        return optax.chain(optax.clip_by_global_norm(float(grad_clip)), opt)
+        opt = optax.chain(optax.clip_by_global_norm(float(grad_clip)), opt)
+    if getattr(P, "guard_nonfinite", False):
+        # skip the whole outer update when any grad is NaN/Inf instead of
+        # poisoning the params — the reference's meta-update guard
+        # (meta_core.py:124-126). Off by default: wrapping changes the
+        # opt_state pytree, which must stay stable across checkpoint resume.
+        opt = optax.apply_if_finite(opt, max_consecutive_errors=1000)
     return opt
 
 
