@@ -131,6 +131,14 @@ def dataset_info(data_path: Path) -> str:
                 f"nearest-neighbor baseline (m): mean {nn.mean() * psf:.2f} "
                 f"min {nn.min() * psf:.2f} max {nn.max() * psf:.2f}"
             )
+            # all-pairs baseline quantiles (reference :267-276): how spread
+            # the capture is, not just how dense
+            pair = d2[np.isfinite(d2)] * psf
+            qs = np.quantile(pair, [0.05, 0.5, 0.95])
+            lines.append(
+                f"pairwise baseline (m): min {pair.min():.2f} p05 {qs[0]:.2f} "
+                f"med {qs[1]:.2f} p95 {qs[2]:.2f} max {pair.max():.2f}"
+            )
 
         # signed roll about the forward axis (reference _signed_roll_deg,
         # :130-152): project camera Right onto the plane ⊥ forward and
