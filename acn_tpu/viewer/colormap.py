@@ -24,9 +24,9 @@ class ColormapOptions:
 
 
 def _matplotlib_map(name: str, x: np.ndarray) -> np.ndarray:
-    import matplotlib.cm as cm
+    import matplotlib
 
-    return np.asarray(cm.get_cmap(name)(x))[..., :3]
+    return np.asarray(matplotlib.colormaps[name](x))[..., :3]
 
 
 def apply_colormap(
