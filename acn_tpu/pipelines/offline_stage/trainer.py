@@ -188,6 +188,12 @@ def meta_trainer(
 
         _threading.Thread(target=_watchdog, daemon=True).start()
 
+    # the loop watchdog is armed — hand over from the runner's startup
+    # watchdog (utils/startup.py), which covered client creation + restore
+    from acn_tpu.utils import startup as _startup
+
+    _startup.mark_ready()
+
     # graceful shutdown: SIGTERM/SIGINT finish the current step, save the
     # full 'last' checkpoint (incl. occupancy states), then return
     stop_requested = {"flag": False}

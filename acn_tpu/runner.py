@@ -451,6 +451,16 @@ def main(argv=None):
 
     P = parse_args(argv)
 
+    # bound the whole pre-loop phase (client creation, checkpoint upload,
+    # pool device_put) against remote-tunnel wedges: the trainer's loop
+    # watchdog can't cover what happens before it arms
+    from acn_tpu.utils import startup
+
+    startup.arm(
+        float(getattr(P, "startup_timeout", 2400) or 0),
+        what=f"op={P.op} startup (backend/restore/data)",
+    )
+
     # multi-host (pod) runs: initialize the distributed runtime before any
     # backend touch so jax.devices() spans all hosts (SURVEY §5)
     from acn_tpu.parallel.mesh import maybe_init_distributed
@@ -459,6 +469,10 @@ def main(argv=None):
         P.rank = jax.process_index()
 
     ctx = build_context(P, P.op)
+    if P.op != "train":
+        # device setup survived; train keeps the guard armed until the
+        # trainer's own loop watchdog takes over (trainer.py)
+        startup.mark_ready()
     if P.op == "train":
         op_train(ctx)
     elif P.op == "eval":

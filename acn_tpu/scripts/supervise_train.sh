@@ -2,8 +2,10 @@
 # Supervised training with auto-resume.
 #
 # Wraps `nerf_runner.py --op train`, relaunching on the trainer watchdog's
-# exit code 42 (wedged remote transfer) or any crash, resuming from the
-# newest checkpoint under logs/<fname>*. Normal completion (exit 0) stops.
+# exit code 42 (wedged remote transfer mid-loop), the startup watchdog's
+# 43 (wedged backend client / checkpoint upload before the loop), or any
+# crash, resuming from the newest checkpoint under logs/<fname>*. Normal
+# completion (exit 0) stops.
 #
 # Usage: scripts/supervise_train.sh <fname> [nerf_runner args...]
 set -u

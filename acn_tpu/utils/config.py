@@ -39,6 +39,12 @@ def build_parser() -> argparse.ArgumentParser:
                              "this many seconds (wedged remote transfers); "
                              "0 disables. Pair with scripts/supervise_train.sh "
                              "for auto-resume. Raise on cold compile caches")
+    parser.add_argument("--startup_timeout", type=float, default=2400,
+                        help="hard-exit(43) if startup (backend client, "
+                             "checkpoint upload, data device_put) hasn't "
+                             "reached the training loop in this many seconds "
+                             "— catches tunnel wedges the loop watchdog "
+                             "can't see; 0 disables")
     # multi-host (pod) coordination; unset ⇒ single-process
     parser.add_argument("--coordinator_address", type=str, default=None)
     parser.add_argument("--process_id", type=int, default=None)
