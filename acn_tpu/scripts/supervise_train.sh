@@ -30,9 +30,21 @@ latest_ckpt() {
   echo "$dir" "$tag"
 }
 
+tunnel_healthy() {
+  # a wedged loopback relay hangs NEW client creation forever (observed
+  # 2026-08-17: >40 min inside make_c_api_client); gate each launch on a
+  # bounded probe so retries cost ~2 min, not a hung attempt. CPU-only
+  # platforms pass trivially.
+  timeout 75 python -c "import jax; jax.devices()" >/dev/null 2>&1
+}
+
 attempt=0
 while :; do
   attempt=$((attempt + 1))
+  until tunnel_healthy; do
+    echo "[supervisor] device client creation wedged — re-probing in 45s"
+    sleep 45
+  done
   resume=()
   if ck=$(latest_ckpt); then
     read -r ck_dir ck_tag <<<"$ck"
