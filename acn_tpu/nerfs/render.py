@@ -151,12 +151,20 @@ def composite_packed(
 
     The budget marcher packs every valid sample of the batch contiguously by
     ray (occupancy/grid.py march_rays_budget), so per-ray transmittance is a
-    segment-exclusive product — computed here as one global cumsum of
-    log(1−α) minus each ray's start offset — and per-ray accumulation is a
-    B→N segment-sum (a scatter-add into a tiny target). Compared with
-    scattering results back onto the dense (N, s_max) grid this removes an
-    O(N·s_max) gather, its O(N·s_max) backward scatter, and all (N, s_max)
-    compositing traffic: everything is O(B) + O(N).
+    segment-exclusive product — computed as a *segmented* log-space scan that
+    resets at every ray boundary — and per-ray accumulation is a B→N
+    segment-sum (a scatter-add into a tiny target). Compared with scattering
+    results back onto the dense (N, s_max) grid this removes an O(N·s_max)
+    gather, its O(N·s_max) backward scatter, and all (N, s_max) compositing
+    traffic: everything is O(B) + O(N).
+
+    The scan must be segmented, not a global cumsum minus a per-ray base:
+    opaque samples contribute ≈−23 each to log-transmittance, so a global
+    float32 prefix over a serving-scale buffer (B ≈ 10⁶) reaches magnitudes
+    where the ulp is 0.01–1.0 and exp(ce − base) for late rays is off by up
+    to tens of percent. Resetting at each segment bounds the accumulated
+    magnitude by one ray's own log-transmittance (≤ s_max·23 ≈ 1.5e3, ulp
+    ≈ 1e-4), independent of buffer position.
 
     Returns (rgb_map (N,3), depth (N,), acc (N,), extras {wmax, went}) —
     extras are the per-ray weight-shape stats fog suppression needs
@@ -165,7 +173,6 @@ def composite_packed(
     t0_b, t1_b = samples["t0_b"], samples["t1_b"]
     rid = samples["ray_id"]
     real = samples["slot_real"]
-    B = t0_b.shape[0]
 
     dt = jnp.maximum(t1_b - t0_b, 0.0)
     sigma = jnp.where(real, jnp.maximum(sigmas_b, 0.0), 0.0)
@@ -173,11 +180,20 @@ def composite_packed(
     if alpha_thre > 0.0:
         alpha = jnp.where(alpha >= alpha_thre, alpha, 0.0)
 
-    # segment-exclusive transmittance: Π_{j<i in ray}(1−α_j+ε) via log-cumsum
+    # segment-exclusive transmittance: Π_{j<i in ray}(1−α_j+ε) via a
+    # segmented log-space scan (resets where ray_id changes; real samples are
+    # a contiguous ray-major prefix, so rid transitions mark ray boundaries)
     logt = jnp.log(1.0 - alpha + 1e-10)
-    ce = jnp.cumsum(logt) - logt  # exclusive prefix
-    base = ce[jnp.clip(samples["ray_start"], 0, B - 1)]  # (N,)
-    trans = jnp.exp(ce - base[rid])
+    seg_start = jnp.concatenate(
+        [jnp.ones((1,), bool), rid[1:] != rid[:-1]], axis=0)
+
+    def _seg_sum(a, b):
+        va, fa = a
+        vb, fb = b
+        return jnp.where(fb, vb, va + vb), fa | fb
+
+    csum, _ = jax.lax.associative_scan(_seg_sum, (logt, seg_start))
+    trans = jnp.exp(csum - logt)  # exclusive within-ray prefix
     w = jnp.where(real, alpha * trans, 0.0)
 
     rid_safe = jnp.where(real, rid, n_rays)  # padding → dropped

@@ -194,5 +194,66 @@ def main():
     )
 
 
+def _probe_backend(timeout_s: float) -> bool:
+    """Bounded TPU-client health probe in a throwaway subprocess (the axon
+    relay can wedge client creation indefinitely — supervise_train.sh uses
+    the same gate before every trainer relaunch)."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; print(len(jax.devices()))"],
+            timeout=timeout_s, capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _main_with_retry() -> int:
+    """Probe backend health, then run the benchmark in a child process;
+    retry with backoff on failure (round-3's single rc=1 attempt hit a
+    transient relay wedge and lost the round its scoreboard entry)."""
+    import os
+    import subprocess
+    import sys
+    import time
+
+    probe_timeouts = [75, 150, 300, 300]
+    for i, pt in enumerate(probe_timeouts):
+        if _probe_backend(pt):
+            break
+        print(f"[bench] backend probe {i + 1}/{len(probe_timeouts)} failed "
+              f"(timeout {pt}s); backing off 60s", file=sys.stderr)
+        time.sleep(60)
+    # run the bench itself in a child even if every probe failed — the probe
+    # is advisory; the attempt below is what counts.
+    attempts = 3
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--inner"],
+                timeout=3600, capture_output=True, text=True,
+            )
+        except subprocess.TimeoutExpired:
+            print(f"[bench] attempt {i + 1}/{attempts} timed out (3600s)",
+                  file=sys.stderr)
+            continue
+        if r.returncode == 0 and '"metric"' in r.stdout:
+            sys.stdout.write(r.stdout)
+            return 0
+        print(f"[bench] attempt {i + 1}/{attempts} rc={r.returncode}\n"
+              f"{r.stderr[-2000:]}", file=sys.stderr)
+        if i + 1 < attempts:
+            time.sleep(120 * (i + 1))
+    return 1
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--inner" in sys.argv:
+        main()
+    else:
+        sys.exit(_main_with_retry())

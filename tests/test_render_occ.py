@@ -202,3 +202,49 @@ def test_container_budget_matches_per_ray():
     )
     np.testing.assert_allclose(np.asarray(rgb_b), np.asarray(rgb_a), atol=1e-5)
     np.testing.assert_allclose(np.asarray(acc_b), np.asarray(acc_a), atol=1e-5)
+
+
+def test_composite_packed_precision_at_scale():
+    """Per-ray transmittance must not lose precision late in a large packed
+    buffer. A global f32 log-cumsum accumulates ~23 per opaque sample; at
+    B~1e5-1e6 its ulp swamps exp(ce-base) for late rays (up to tens of
+    percent). The segmented scan bounds magnitude per ray, so weights match
+    a float64 per-segment reference everywhere in the buffer."""
+    from acn_tpu.nerfs.render import composite_packed
+
+    rng = np.random.default_rng(7)
+    n_rays, spr = 4096, 48  # B ≈ 200k packed samples
+    B = n_rays * spr
+    rid = np.repeat(np.arange(n_rays, dtype=np.int32), spr)
+    ray_start = (np.arange(n_rays, dtype=np.int32) * spr)
+    t0 = np.tile(np.linspace(1.0, 3.0, spr, dtype=np.float32), n_rays)
+    t1 = t0 + 2.0 / spr
+    # mostly-opaque scene: most samples have large sigma -> logT ~ -23 each,
+    # a global prefix would reach ~ -2e6 by the end of the buffer
+    sig = rng.uniform(300.0, 900.0, B).astype(np.float32)
+    sig[rng.uniform(size=B) < 0.3] = rng.uniform(0.0, 3.0)
+    rgb = rng.uniform(0, 1, (B, 3)).astype(np.float32)
+    samples = {
+        "t0_b": jnp.asarray(t0), "t1_b": jnp.asarray(t1),
+        "ray_id": jnp.asarray(rid),
+        "slot_real": jnp.ones((B,), bool),
+        "ray_start": jnp.asarray(ray_start),
+    }
+    rgb_map, depth, acc, _ = composite_packed(
+        jnp.asarray(sig), jnp.asarray(rgb), samples, n_rays)
+
+    # float64 per-ray reference
+    dt = (t1 - t0).astype(np.float64)
+    alpha = 1.0 - np.exp(-sig.astype(np.float64) * dt)
+    a2 = alpha.reshape(n_rays, spr)
+    trans = np.cumprod(1.0 - a2 + 1e-10, axis=1)
+    trans = np.concatenate([np.ones((n_rays, 1)), trans[:, :-1]], axis=1)
+    w = (a2 * trans).reshape(B)
+    ref_rgb = (w[:, None] * rgb).reshape(n_rays, spr, 3).sum(1)
+    ref_acc = w.reshape(n_rays, spr).sum(1)
+
+    np.testing.assert_allclose(np.asarray(acc), ref_acc, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(rgb_map), ref_rgb, atol=5e-5)
+    # the late-buffer rays specifically (where the old global prefix broke)
+    np.testing.assert_allclose(
+        np.asarray(rgb_map)[-64:], ref_rgb[-64:], atol=5e-5)
