@@ -403,6 +403,7 @@ class Renderer:
         download: bool = True,
         blend_px: int = 32,
         expert_aabbs: Optional[np.ndarray] = None,
+        acc_eps: float = 1e-4,
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Full-frame render via per-expert image-rect dispatch.
 
@@ -416,7 +417,16 @@ class Renderer:
         pipelines/online_stage/runtime_adapt.py + viewer region preview);
         the soft-MoE path (`render_image`) remains the eval-parity
         instrument. With identical expert params the two paths agree to
-        float tolerance (tests/test_renderer_routed.py)."""
+        float tolerance (tests/test_renderer_routed.py).
+
+        Stitching weights are ``feather × (acc + acc_eps)``, not feather
+        alone: rects are conservative (behind-camera AABBs and the
+        uncovered-pixel fallback widen to full frame), so an expert often
+        renders pixels outside its own region where its occ grid is empty —
+        pure background at acc≈0. Opacity-weighting makes such renders
+        contribute ~nothing wherever any expert has real content, while
+        pixels no expert covers still normalize to the blended background
+        (every term is background there)."""
         use_occ = (self.occ_cfg is not None) if use_occ is None else use_occ
         if expert_aabbs is None:
             expert_aabbs = np.asarray(variables["buffers"]["expert_aabbs"])
@@ -496,10 +506,11 @@ class Renderer:
             sl_r = slice(r0, r0 + rows_this)
             sl_c = slice(cw0, cw1)
             src_c = slice(cw0 - c0, cw1 - c0)
-            rgb_acc[sl_r, sl_c] += wslice[..., None] * rgb[:, src_c]
-            depth_acc[sl_r, sl_c] += wslice * dep[:, src_c]
-            acc_acc[sl_r, sl_c] += wslice * ac[:, src_c]
-            w_acc[sl_r, sl_c] += wslice
+            wk = wslice * (ac[:, src_c] + acc_eps)  # opacity-weighted stitch
+            rgb_acc[sl_r, sl_c] += wk[..., None] * rgb[:, src_c]
+            depth_acc[sl_r, sl_c] += wk * dep[:, src_c]
+            acc_acc[sl_r, sl_c] += wk * ac[:, src_c]
+            w_acc[sl_r, sl_c] += wk
         wsafe = np.maximum(w_acc, 1e-8)[..., None]
         rgb = np.clip(rgb_acc / wsafe, 0.0, 1.0)
         depth = (depth_acc / wsafe[..., 0]).reshape(-1)

@@ -179,11 +179,16 @@ def build_context(P, op: str) -> Dict[str, Any]:
     # metric meters → normalized units (reference nerf_runner.py:91-95);
     # skipped when these values were restored from a checkpoint's P.json,
     # which stores them post-normalization
+    # tracked per field: a mixed restore (fresh --near, checkpointed far)
+    # must not divide the already-normalized member a second time
     psf = coordinate_info["pose_scale_factor"]
-    if not getattr(P, "near_far_normalized", 0):
+    if not getattr(P, "near_normalized", 0):
         P.near = P.near / psf if P.near is not None else None
+        P.near_normalized = 1
+    if not getattr(P, "far_normalized", 0):
         P.far = P.far / psf if P.far is not None else None
-        P.near_far_normalized = 1
+        P.far_normalized = 1
+    P.near_far_normalized = 1
 
     cfg = build_model_configs(P, clustering_params)
     occ_cfg = build_occ_config(P, psf)

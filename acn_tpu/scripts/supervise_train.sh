@@ -34,15 +34,26 @@ tunnel_healthy() {
   # a wedged loopback relay hangs NEW client creation forever (observed
   # 2026-08-17: >40 min inside make_c_api_client); gate each launch on a
   # bounded probe so retries cost ~2 min, not a hung attempt. CPU-only
-  # platforms pass trivially.
-  timeout 75 python -c "import jax; jax.devices()" >/dev/null 2>&1
+  # platforms pass trivially. $1: probe timeout (healthy-but-slow cold
+  # client creation can legitimately exceed 75s, so callers escalate).
+  timeout "${1:-75}" python -c "import jax; jax.devices()" >/dev/null 2>&1
 }
 
 attempt=0
 while :; do
   attempt=$((attempt + 1))
-  until tunnel_healthy; do
-    echo "[supervisor] device client creation wedged — re-probing in 45s"
+  # escalate the probe timeout on consecutive failures (75s → 300s), and
+  # after 6 failed probes attempt a real launch anyway — the runner's own
+  # startup watchdog (--startup_timeout, exit 43) bounds a wedged launch,
+  # so a falsely-unhealthy probe can never starve training forever.
+  probes=0
+  until tunnel_healthy $((probes < 2 ? 75 : 300)); do
+    probes=$((probes + 1))
+    if [ $probes -ge 6 ]; then
+      echo "[supervisor] probe failed ${probes}x — launching anyway (startup watchdog bounds a wedge)"
+      break
+    fi
+    echo "[supervisor] device client creation wedged (probe $probes) — re-probing in 45s"
     sleep 45
   done
   resume=()

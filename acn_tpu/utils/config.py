@@ -89,6 +89,14 @@ def build_parser() -> argparse.ArgumentParser:
     # divide a second time.
     parser.add_argument("--near_far_normalized", type=int, default=0,
                         help=argparse.SUPPRESS)
+    # per-field tracking: a mixed restore (e.g. fresh --near on the CLI with
+    # the checkpoint's already-normalized far) must normalize ONLY the fresh
+    # member of the pair. near_far_normalized is kept as the legacy
+    # both-or-neither input for pre-split checkpoints.
+    parser.add_argument("--near_normalized", type=int, default=0,
+                        help=argparse.SUPPRESS)
+    parser.add_argument("--far_normalized", type=int, default=0,
+                        help=argparse.SUPPRESS)
     parser.add_argument("--bm", type=float, default=1.05)
 
     # --- episode gen
@@ -139,7 +147,7 @@ def build_parser() -> argparse.ArgumentParser:
         "--hash_backend", type=str, default="auto", choices=["auto", "jnp", "pallas"]
     )
     parser.add_argument(
-        "--hash_dense_levels", type=int, default=1,
+        "--hash_dense_levels", type=int, nargs="?", const=1, default=1,
         help="clamp coarse cell-layout levels to dense res^3 tables with "
              "collision-free linear indexing (tcnn semantics; collision-free "
              "coarse levels AND far smaller scatter targets — default on "
@@ -402,9 +410,21 @@ def parse_args(argv=None) -> argparse.Namespace:
 
     # near/far freshly given on the CLI or in the JSON config are in meters,
     # even when the checkpoint layer marked its own (stored) values as
-    # normalized
-    if {"near", "far"} & (pinned | set(json_cfg)):
-        args.near_far_normalized = 0
+    # normalized. Tracked PER FIELD: with e.g. a fresh --near and the
+    # checkpoint's normalized far, only near may be normalized again.
+    if ckpt_cfg.get("near_far_normalized") and "near_normalized" not in ckpt_cfg:
+        args.near_normalized = args.far_normalized = 1  # pre-split checkpoint
+    for field in ("near", "far"):
+        if field in (pinned | set(json_cfg)):
+            setattr(args, f"{field}_normalized", 0)
+    args.near_far_normalized = int(args.near_normalized and args.far_normalized)
+
+    # --hash_dense_levels predates some checkpoints: a restore whose P.json
+    # lacks the key must keep the old behavior (0), not silently adopt the
+    # new default and change table row counts
+    if ckpt_cfg and "hash_dense_levels" not in ckpt_cfg \
+            and "hash_dense_levels" not in (pinned | set(json_cfg)):
+        args.hash_dense_levels = 0
 
     if args.fname is None:
         args.fname = default_experiment_fname(args)

@@ -161,3 +161,24 @@ def test_rects_full_frame_when_camera_inside():
     intr = np.array([24.0, 24.0, 16.0, 16.0], np.float32)
     rects = Renderer._expert_rects(aabbs, cam_inside, intr, H, W, pad_px=0)
     assert tuple(rects[0]) == (0, H, 0, W)
+
+
+def test_quadrant_routed_matches_soft_with_background():
+    """Parity on a scene with UNCOVERED pixels (sky/horizon): the fallback
+    full-frame rect must not wash other quadrants' content toward
+    background (the expert rendering off-region sees acc~0 there, so its
+    feather-only weight used to blend ~50/50 with real content)."""
+    cfg, variables, occ_cfg, occ_states = _quadrant_scene()
+    variables = _tie_experts(variables)
+    H = W = 64
+    intr = np.array([0.7 * H, 0.7 * H, W / 2, H / 2], np.float32)
+    aabb = np.array([[-1, -1, -1], [1, 1, 1]], np.float32)
+    r = _renderer(cfg, occ_cfg)
+    kw = dict(H=H, W=W, intrinsics=intr, c2w=CAM, aabb=aabb, use_occ=True)
+    rgb_s, _, acc_s = r.render_image(variables, occ_states, **kw)
+    rgb_r, _, acc_r = r.render_image_routed(variables, occ_states, **kw)
+    # border pixels are genuinely uncovered (acc ~ 0 in the soft path)
+    assert (np.asarray(acc_s).reshape(H, W)[0] < 0.05).any()
+    np.testing.assert_allclose(rgb_r, rgb_s, atol=0.04)
+    np.testing.assert_allclose(
+        acc_r.reshape(H, W), np.asarray(acc_s).reshape(H, W), atol=0.04)
