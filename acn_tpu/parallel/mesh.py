@@ -95,6 +95,18 @@ def make_mesh(
     return Mesh(dev_grid, axis_names=("expert", "data"))
 
 
+def make_render_mesh(devices=None) -> Optional[Mesh]:
+    """1D mesh for frame-parallel serving: row blocks of a frame shard over
+    every available device (Renderer._frame_chunk_mesh_fn). Parameters are
+    replicated and blocks are disjoint — no collectives, so the axis order
+    does not matter and ALL devices (expert × data in training) flatten into
+    one ``px`` axis. Returns None on a single device."""
+    devices = list(devices) if devices is not None else jax.devices()
+    if len(devices) <= 1:
+        return None
+    return Mesh(np.asarray(devices), axis_names=("px",))
+
+
 def shard_by_expert_axis(tree: Any, mesh: Optional[Mesh], num_experts: int) -> Any:
     """Place a pytree on the mesh: leaves whose leading dim equals K are
     sharded along the ``expert`` axis, everything else replicated.

@@ -30,6 +30,32 @@ from acn_tpu.nerfs.render_occ import (
 from acn_tpu.occupancy.grid import OccConfig
 
 
+def _pinhole_block_rays(rows: int, W: int, c2w, intr, aabb, nf, row0, col0):
+    """Generate the (rows × W) pixel block's rays ON DEVICE from the pose:
+    12 floats of upload per frame instead of 32 B/pixel of packed rays (the
+    remote-tunnel lesson; the reference's ray gen is torch on host,
+    ray_sampling.py:111-136). Rays outside [near, far] validity are made
+    inert (far < near)."""
+    fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
+    j = (row0 + jnp.arange(rows, dtype=jnp.float32))[:, None] + 0.5
+    i = (col0 + jnp.arange(W, dtype=jnp.float32))[None, :] + 0.5
+    j = jnp.broadcast_to(j, (rows, W))
+    i = jnp.broadcast_to(i, (rows, W))
+    dirs = jnp.stack(
+        [(i - cx) / fx, -(j - cy) / fy, -jnp.ones_like(i)], axis=-1
+    )
+    dirs = dirs / jnp.clip(
+        jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12
+    )
+    rays = raylib.get_rays(dirs.reshape(-1, 3), c2w, aabb=aabb)
+    near = jnp.maximum(rays[:, 6], nf[0])
+    far = jnp.minimum(rays[:, 7], nf[1])
+    valid = jnp.isfinite(near) & jnp.isfinite(far) & (far > near + 1e-6)
+    rays = rays.at[:, 6].set(jnp.where(valid, near, 0.0))
+    rays = rays.at[:, 7].set(jnp.where(valid, far, -1.0))  # inert
+    return rays
+
+
 class Renderer:
     """Stateless-per-call renderer over (variables, occ_states)."""
 
@@ -193,23 +219,8 @@ class Renderer:
 
         def frame_chunk(variables, occ_states, c2w, intr, aabb, nf, row0,
                         col0, key):
-            fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
-            j = (row0 + jnp.arange(rows, dtype=jnp.float32))[:, None] + 0.5
-            i = (col0 + jnp.arange(W, dtype=jnp.float32))[None, :] + 0.5
-            j = jnp.broadcast_to(j, (rows, W))
-            i = jnp.broadcast_to(i, (rows, W))
-            dirs = jnp.stack(
-                [(i - cx) / fx, -(j - cy) / fy, -jnp.ones_like(i)], axis=-1
-            )
-            dirs = dirs / jnp.clip(
-                jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12
-            )
-            rays = raylib.get_rays(dirs.reshape(-1, 3), c2w, aabb=aabb)
-            near = jnp.maximum(rays[:, 6], nf[0])
-            far = jnp.minimum(rays[:, 7], nf[1])
-            valid = jnp.isfinite(near) & jnp.isfinite(far) & (far > near + 1e-6)
-            rays = rays.at[:, 6].set(jnp.where(valid, near, 0.0))
-            rays = rays.at[:, 7].set(jnp.where(valid, far, -1.0))  # inert
+            rays = _pinhole_block_rays(rows, W, c2w, intr, aabb, nf, row0,
+                                       col0)
             rgb, depth, acc, _, _ = base(variables, occ_states, rays, key)
             # compact outputs: download bandwidth is the frame-rate limit on
             # the remote tunnel (6 f32/pixel ≈ 11 MB per 512×384 view) —
@@ -220,6 +231,51 @@ class Renderer:
         fn = jax.jit(frame_chunk)
         self._jitted[key_] = fn
         return fn
+
+    def _frame_chunk_mesh_fn(self, use_occ: bool, active_module: Optional[int],
+                             W: int, rows: int, ray_samples: Optional[int],
+                             mesh):
+        """SPMD super-chunk renderer over a device mesh (SURVEY §5 / the
+        v5e-8 serving path): ONE jitted ``shard_map`` program in which every
+        mesh slot renders its own ``rows``-row block of the frame — slot i
+        derives its row offset from ``lax.axis_index``, generates its rays
+        on device, and renders independently. Parameters are replicated;
+        row blocks are disjoint, so the program contains ZERO collectives —
+        frame latency divides by the mesh size, and each slot runs exactly
+        the single-device program (pixel-identical output,
+        tests/test_renderer_mesh.py). The reference has no frame-parallel
+        path at all (single-GPU render_image, ray_rendering.py:577-627)."""
+        n_dev = mesh.devices.size
+        key_ = ("mesh_frame", use_occ, active_module, W, rows,
+                int(ray_samples or self.P.ray_samples),
+                tuple(d.id for d in mesh.devices.flat))
+        if key_ in self._jitted:
+            return self._jitted[key_]
+
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as PS
+
+        base = self._chunk_fn(use_occ, active_module, False, ray_samples)
+        axis = mesh.axis_names[0]
+
+        def frame_block(variables, occ_states, c2w, intr, aabb, nf, row0,
+                        col0, keys):
+            slot = jax.lax.axis_index(axis).astype(jnp.float32)
+            rays = _pinhole_block_rays(rows, W, c2w, intr, aabb, nf,
+                                       row0 + slot * rows, col0)
+            rgb, depth, acc, _, _ = base(variables, occ_states, rays,
+                                         keys[0])
+            rgb_u8 = jnp.clip(jnp.round(rgb * 255.0), 0, 255).astype(jnp.uint8)
+            return rgb_u8, depth.astype(jnp.float16), acc.astype(jnp.float16)
+
+        fn = jax.jit(shard_map(
+            frame_block, mesh=mesh,
+            in_specs=(PS(), PS(), PS(), PS(), PS(), PS(), PS(), PS(),
+                      PS(axis)),
+            out_specs=(PS(axis), PS(axis), PS(axis)),
+        ))
+        self._jitted[key_] = (fn, n_dev)
+        return fn, n_dev
 
     # ---------------- public API ----------------
 
@@ -289,6 +345,7 @@ class Renderer:
         near_far_override=None,
         ray_samples: Optional[int] = None,
         download: bool = True,
+        mesh=None,
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Full-frame render (reference render_image, ray_rendering.py:577-627),
         generating rays ON DEVICE (12-float pose upload per frame — see
@@ -296,10 +353,22 @@ class Renderer:
         acc (H·W,)); with ``download=False`` the frame stays on device
         (blocks until computed, returns ``(None, None, None)``) — separates
         render compute from host-transfer bandwidth, which on the remote
-        tunnel is an environment artifact rather than a serving cost."""
+        tunnel is an environment artifact rather than a serving cost.
+
+        ``mesh``: a 1D jax.sharding.Mesh — row blocks of the frame shard
+        across its devices in one SPMD program (see _frame_chunk_mesh_fn);
+        output is pixel-identical to the single-device path."""
         use_occ = (self.occ_cfg is not None) if use_occ is None else use_occ
         rows = max(self._chunk_size(use_occ) // W, 1)
-        fn = self._frame_chunk_fn(use_occ, active_module, W, rows, ray_samples)
+        if mesh is not None:
+            fn_m, n_dev = self._frame_chunk_mesh_fn(
+                use_occ, active_module, W, rows, ray_samples, mesh)
+            fn = lambda *a: fn_m(*a[:-1], jax.random.split(a[-1], n_dev))
+            rows_disp = rows * n_dev  # rows per dispatch
+        else:
+            fn = self._frame_chunk_fn(use_occ, active_module, W, rows,
+                                      ray_samples)
+            rows_disp = rows
 
         c2w_j = jnp.asarray(np.asarray(c2w, np.float32))
         intr_j = jnp.asarray(np.asarray(intrinsics[:4], np.float32))
@@ -312,7 +381,7 @@ class Renderer:
         key = key if key is not None else jax.random.PRNGKey(0)
 
         pending = []
-        for r0 in range(0, H, rows):  # dispatch all chunks, sync once
+        for r0 in range(0, H, rows_disp):  # dispatch all chunks, sync once
             key, k = jax.random.split(key)
             pending.append(
                 (r0, fn(variables, occ_states, c2w_j, intr_j, aabb_j, nf_j,
@@ -327,7 +396,7 @@ class Renderer:
         depth_out = np.zeros((H * W,), np.float32)
         acc_out = np.zeros((H * W,), np.float32)
         for r0, (rgb_u8, depth, acc) in pending:
-            s, e = r0 * W, min((r0 + rows) * W, H * W)
+            s, e = r0 * W, min((r0 + rows_disp) * W, H * W)
             rgb_out[s:e] = np.asarray(rgb_u8)[: e - s].astype(np.float32) / 255.0
             depth_out[s:e] = np.asarray(depth)[: e - s].astype(np.float32)
             acc_out[s:e] = np.asarray(acc)[: e - s].astype(np.float32)
@@ -404,6 +473,7 @@ class Renderer:
         blend_px: int = 32,
         expert_aabbs: Optional[np.ndarray] = None,
         acc_eps: float = 1e-4,
+        mesh=None,
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Full-frame render via per-expert image-rect dispatch.
 
@@ -471,11 +541,24 @@ class Renderer:
             # waste at preview res)
             rows = max(chunk // W_crop, 1)
             rows = min(rows, int(np.ceil((r1k - r0k) / 64.0)) * 64)
-            fn = self._frame_chunk_fn(use_occ, k, W_crop, rows, ray_samples)
-            for r0 in range(r0k, r1k, rows):
+            if mesh is not None:
+                # split this rect's rows over the mesh: each slot takes a
+                # 64-row-quantized share, one SPMD dispatch per super-chunk
+                n_dev = mesh.devices.size
+                rows = min(rows, max(
+                    int(np.ceil((r1k - r0k) / n_dev / 64.0)) * 64, 64))
+                fn_m, _ = self._frame_chunk_mesh_fn(
+                    use_occ, k, W_crop, rows, ray_samples, mesh)
+                fn = lambda *a: fn_m(*a[:-1], jax.random.split(a[-1], n_dev))
+                rows_disp = rows * n_dev
+            else:
+                fn = self._frame_chunk_fn(use_occ, k, W_crop, rows,
+                                          ray_samples)
+                rows_disp = rows
+            for r0 in range(r0k, r1k, rows_disp):
                 key, kk = jax.random.split(key)
                 pending.append(
-                    (k, r0, min(rows, r1k - r0), c0k, W_crop,
+                    (k, r0, min(rows_disp, r1k - r0), c0k, W_crop,
                      fn(variables, occ_states, c2w_j, intr_j, aabb_j, nf_j,
                         jnp.float32(r0), jnp.float32(c0k), kk))
                 )

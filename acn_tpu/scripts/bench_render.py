@@ -55,6 +55,12 @@ def main(argv=None):
                     metavar=("LEVELS", "FEATURES"))
     ap.add_argument("--skip", type=str, default="",
                     help="comma-separated regimes to skip")
+    ap.add_argument("--mesh", type=int, default=-1, metavar="N",
+                    help="shard frame row-blocks over a mesh of N devices "
+                         "(0 = all available; 1 = a 1-device mesh, which "
+                         "measures the shard_map machinery's overhead vs "
+                         "the plain path; -1 = off). Pixel-equivalence vs "
+                         "the unsharded path: tests/test_renderer_mesh.py")
     args = ap.parse_args(argv)
 
     H, W = args.hw
@@ -136,13 +142,20 @@ def main(argv=None):
         ("stratified", False, 0, (H, W), False, 0),
     ]
     skip = {s for s in args.skip.split(",") if s}
+    mesh = None
+    if args.mesh >= 0:
+        from jax.sharding import Mesh
+
+        devs = jax.devices() if args.mesh == 0 else jax.devices()[:args.mesh]
+        mesh = Mesh(np.asarray(devs), axis_names=("px",))
+        out["mesh_devices"] = len(devs)
     for regime, use_occ, budget, (h, w), routed, rsm in regimes:
         if regime in skip:
             continue
         renderer = make_renderer(budget, rsm)
         intr_s = intr * (h / H)  # fx, fy, cx, cy all scale with resolution
         kw = dict(H=h, W=w, intrinsics=intr_s, c2w=c2w,
-                  aabb=np.asarray(aabb), use_occ=use_occ)
+                  aabb=np.asarray(aabb), use_occ=use_occ, mesh=mesh)
         render = (renderer.render_image_routed if routed
                   else renderer.render_image)
         render(variables, occ_states, **kw)  # warm / compile
