@@ -1,0 +1,339 @@
+"""Baked (amortized) serving path: distill the trained field into a dense
+voxel table and render it with NO per-sample hash gathers or MLP evals.
+
+Why this exists (BASELINE.md "30 FPS" analysis): live rendering is bound by
+hash-table gather rows — ~66 M rows for one 1080p frame against a measured
+~0.1–0.3 B rows/s single-chip ceiling, so no amount of scheduling reaches
+30 FPS through the live field. The reference hits the same wall (its viewer
+serves ~1 FPS previews, viewer/viewer.py:112-113) and stops there. The
+standard escape — PlenOctree/SNeRG-style baking — precomputes σ and color
+onto a regular grid once, after which a frame costs 8 *regular* trilinear
+gathers per sample from ONE table (vs 8 rows × L hash levels + two MLPs),
+plus nothing at all in empty space.
+
+TPU-shaped choices:
+
+* the table is a flat ``(R³, 4)`` row array ``[r, g, b, σ]`` — one gather
+  row per corner, features packed (same layout lesson as the 'cell' hash:
+  row count, not row width, is what costs);
+* empty-space skipping reuses the *existing* budget marcher: baking also
+  emits a standard occupancy state (binaries = σ-maxpool > threshold), so
+  ``march_rays_budget`` + ``composite_packed`` serve unchanged;
+* view dependence is baked diffuse (mean over ``bake_dirs`` directions,
+  degree-0 SH). City-scale aerial content is far from the camera and mostly
+  matte, so the diffuse approximation is measured, not assumed — the bake
+  PSNR-vs-live number comes from ``scripts/bench_render.py --baked``.
+
+Reference counterpart: none (the reference has no amortized serving path);
+call sites it replaces: nerfs/ray_rendering.py:577-627 at serving time.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from acn_tpu.nerfs.render import bg_default_color, composite_packed
+from acn_tpu.occupancy import grid as occ_grid
+from acn_tpu.occupancy.grid import OccConfig
+
+Array = jnp.ndarray
+
+
+# ============================ baking ============================
+
+
+def _lattice_points(aabb: np.ndarray, R: int, flat_lo: int, flat_hi: int
+                    ) -> np.ndarray:
+    """Lattice points [flat_lo, flat_hi) of the R³ grid, in x-major flat
+    order (ix·R + iy)·R + iz — host-side numpy (one-time prep; the remote
+    tunnel punishes device round trips for generation-only work)."""
+    idx = np.arange(flat_lo, flat_hi, dtype=np.int64)
+    iz = idx % R
+    iy = (idx // R) % R
+    ix = idx // (R * R)
+    u = np.stack([ix, iy, iz], axis=-1).astype(np.float32) / max(R - 1, 1)
+    lo, hi = np.asarray(aabb[0], np.float32), np.asarray(aabb[1], np.float32)
+    return lo + u * (hi - lo)
+
+
+def fibonacci_dirs(n: int) -> np.ndarray:
+    """n roughly-uniform unit directions (Fibonacci sphere) for the diffuse
+    bake average."""
+    i = np.arange(n, dtype=np.float32) + 0.5
+    phi = np.arccos(1.0 - 2.0 * i / n)
+    theta = np.pi * (1.0 + 5.0**0.5) * i
+    return np.stack(
+        [np.cos(theta) * np.sin(phi), np.sin(theta) * np.sin(phi),
+         np.cos(phi)], axis=-1
+    ).astype(np.float32)
+
+
+def bake_field(
+    field_fn,  # (M, 6) [xyz, dir] → (σ (M,), rgb (M, 3))
+    aabb,  # (2, 3)
+    resolution: int,
+    *,
+    bake_dirs: int = 4,
+    chunk: int = 2**18,
+    occ_resolution: int = 128,
+    occ_thre: float = 5e-3,
+    dtype=jnp.float32,
+) -> Dict[str, Any]:
+    """Evaluate ``field_fn`` over the R³ lattice → baked serving asset.
+
+    Returns {"table": (R³, 4) [rgb, σ], "aabb": (2, 3), "resolution": R,
+    "occ_state": occupancy-state pytree for march_rays_budget}.
+
+    σ is direction-independent (one eval); rgb is averaged over
+    ``bake_dirs`` Fibonacci directions (degree-0 SH). Evaluation is chunked
+    and jitted once; the table assembles on host (numpy) so arbitrarily
+    large bakes never hold 2 copies in HBM.
+    """
+    R = int(resolution)
+    aabb_np = np.asarray(aabb, np.float32)
+    dirs = fibonacci_dirs(max(int(bake_dirs), 1))
+
+    @jax.jit
+    def eval_chunk(x):  # (C, 3) → (C, 4)
+        def one_dir(d):
+            xd = jnp.concatenate(
+                [x, jnp.broadcast_to(d[None, :], x.shape)], axis=-1)
+            sigma, rgb = field_fn(xd)
+            return sigma, rgb
+
+        sig, rgb = jax.vmap(one_dir)(jnp.asarray(dirs))  # (D, C) / (D, C, 3)
+        return jnp.concatenate(
+            [jnp.mean(rgb, axis=0), jnp.mean(sig, axis=0)[:, None]], axis=-1)
+
+    n = R * R * R
+    table = np.empty((n, 4), np.float32)
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        x = _lattice_points(aabb_np, R, s, e)
+        if e - s < chunk:  # pad to the fixed jit shape
+            x = np.concatenate(
+                [x, np.zeros((chunk - (e - s), 3), np.float32)])
+        table[s:e] = np.asarray(eval_chunk(jnp.asarray(x)))[: e - s]
+
+    return pack_baked(table, aabb_np, R, occ_resolution=occ_resolution,
+                      occ_thre=occ_thre, dtype=dtype)
+
+
+def pack_baked(table: np.ndarray, aabb: np.ndarray, R: int, *,
+               occ_resolution: int = 128, occ_thre: float = 5e-3,
+               dtype=jnp.float32) -> Dict[str, Any]:
+    """Assemble the serving asset from a raw (R³, 4) table: clip color,
+    derive the marching occupancy (σ max-pooled onto the occ grid, so a
+    cell is occupied iff ANY covered voxel could contribute alpha)."""
+    sigma = table[:, 3].reshape(R, R, R)
+    Ro = int(min(occ_resolution, R))
+    f = R // Ro
+    if f * Ro != R:
+        Ro = R  # non-divisible: occupancy at bake resolution
+        f = 1
+    pooled = sigma.reshape(Ro, f, Ro, f, Ro, f).max(axis=(1, 3, 5))
+    # a voxel's support spans its 8 neighboring cells — dilate by 1 so
+    # boundary samples of an occupied voxel are never culled
+    occ = pooled > occ_thre
+    for ax in (0, 1, 2):
+        occ = occ | np.roll(occ, 1, ax) | np.roll(occ, -1, ax)
+    occ_cfg = OccConfig(resolution=Ro, levels=1)
+    state = occ_grid.init_occ_state(jnp.asarray(aabb, jnp.float32), occ_cfg)
+    state = {**state, "binaries": jnp.asarray(occ[None], bool)}
+    return {
+        "table": jnp.asarray(
+            np.concatenate(
+                [np.clip(table[:, :3], 0.0, 1.0), table[:, 3:4]], axis=-1),
+            dtype,
+        ),
+        "aabb": jnp.asarray(aabb, jnp.float32),
+        "resolution": R,
+        "occ_state": state,
+        "occ_cfg": occ_cfg,
+    }
+
+
+def bake_container(variables, cfg, *, resolution: int, aabb=None,
+                   bake_dirs: int = 4, chunk: int = 2**18,
+                   occ_resolution: int = 128, occ_thre: float = 5e-3,
+                   dtype=jnp.float32) -> Dict[str, Any]:
+    """Bake the full soft-MoE container (the flagship field) over its global
+    AABB. The σ-weighted expert blend is evaluated exactly as the live
+    renderer does (render_occ._soft_moe_eval), so the bake differs from the
+    live field only by lattice resolution and the diffuse average."""
+    from acn_tpu.nerfs.render_occ import _soft_moe_eval
+
+    if aabb is None:
+        aabb = np.asarray(variables["buffers"]["global_aabb"])
+
+    def field_fn(xd):
+        sigma, rgb = _soft_moe_eval(variables, cfg, xd)
+        return sigma, rgb
+
+    return bake_field(field_fn, aabb, resolution, bake_dirs=bake_dirs,
+                      chunk=chunk, occ_resolution=occ_resolution,
+                      occ_thre=occ_thre, dtype=dtype)
+
+
+# ============================ serving ============================
+
+
+def trilinear_lookup(table: Array, aabb: Array, R: int, x: Array) -> Array:
+    """(B, 3) positions → (B, 4) [rgb, σ] by trilinear interpolation of the
+    flat (R³, 4) table (values live AT lattice points). 8 packed-row
+    gathers + lerps — the entire per-sample cost of the baked field."""
+    lo, hi = aabb[0], aabb[1]
+    u = (x - lo) / jnp.maximum(hi - lo, 1e-12) * (R - 1)
+    u = jnp.clip(u, 0.0, R - 1 - 1e-4)
+    i0 = jnp.floor(u).astype(jnp.int32)
+    f = (u - i0.astype(u.dtype)).astype(table.dtype)  # (B, 3)
+
+    base = (i0[:, 0] * R + i0[:, 1]) * R + i0[:, 2]  # (B,)
+    out = None
+    for cx in (0, 1):
+        wx = (1.0 - f[:, 0]) if cx == 0 else f[:, 0]
+        for cy in (0, 1):
+            wy = (1.0 - f[:, 1]) if cy == 0 else f[:, 1]
+            for cz in (0, 1):
+                wz = (1.0 - f[:, 2]) if cz == 0 else f[:, 2]
+                idx = base + (cx * R + cy) * R + cz
+                v = jnp.take(table, idx, axis=0)  # (B, 4)
+                w = (wx * wy * wz)[:, None]
+                out = v * w if out is None else out + v * w
+    return out
+
+
+def render_baked_rays(
+    baked: Dict[str, Any],
+    rays: Array,  # (N, 8)
+    *,
+    s_max: int = 128,
+    budget_per_ray: int = 32,
+    alpha_thre: float = 0.0,
+    key: Optional[jax.Array] = None,
+    bg_rgb: Optional[Array] = None,
+) -> Tuple[Array, Array, Array, Array]:
+    """Budget-marched rendering of the baked table (the serving hot path):
+    march_rays_budget over the baked occupancy → ONE trilinear lookup per
+    packed sample → composite_packed. Returns (rgb, depth, extras, acc) —
+    the same convention as render_expert_occ_budget."""
+    samples = occ_grid.march_rays_budget(
+        baked["occ_state"], rays, baked["occ_cfg"], s_max, budget_per_ray,
+        key=key,
+    )
+    v = trilinear_lookup(
+        baked["table"], baked["aabb"], baked["resolution"],
+        samples["xd"][:, :3],
+    ).astype(jnp.float32)
+    rgb_map, depth, acc, extras = composite_packed(
+        jnp.maximum(v[:, 3], 0.0), v[:, :3], samples, rays.shape[0],
+        bg_rgb=bg_rgb, alpha_thre=alpha_thre,
+    )
+    return rgb_map, depth, extras, acc
+
+
+class BakedRenderer:
+    """Frame renderer over a baked asset — same dispatch conventions as
+    pipelines.renderer.Renderer (device-side ray gen, fixed-shape row
+    chunks, async dispatch + single sync, optional row-block mesh
+    sharding), with the baked lookup as the field."""
+
+    def __init__(self, baked: Dict[str, Any], *, s_max: int = 128,
+                 budget_per_ray: int = 32, chunk_points: int = 4_000_000,
+                 bg_color: str = "white"):
+        self.baked = baked
+        self.s_max = int(s_max)
+        self.budget = int(budget_per_ray)
+        self.chunk_points = int(chunk_points)
+        self.bg_color = bg_color
+        self._jitted = {}
+
+    def _fn(self, W: int, rows: int, mesh=None):
+        key_ = (W, rows, None if mesh is None
+                else tuple(d.id for d in mesh.devices.flat))
+        if key_ in self._jitted:
+            return self._jitted[key_]
+
+        from acn_tpu.pipelines.renderer import _pinhole_block_rays
+
+        bg = self.bg_color
+        # static (non-array) members of the asset are closed over; only the
+        # array leaves (table, aabb, occ_state) flow through jit
+        occ_cfg = self.baked["occ_cfg"]
+        resolution = self.baked["resolution"]
+
+        def block(arrs, c2w, intr, aabb, nf, row0, col0):
+            baked = {**arrs, "occ_cfg": occ_cfg, "resolution": resolution}
+            rays = _pinhole_block_rays(rows, W, c2w, intr, aabb, nf, row0,
+                                       col0)
+            bg_rgb = bg_default_color(None, rays.shape[0], bg)
+            rgb, depth, _, acc = render_baked_rays(
+                baked, rays, s_max=self.s_max, budget_per_ray=self.budget,
+                bg_rgb=bg_rgb,
+            )
+            rgb_u8 = jnp.clip(jnp.round(rgb * 255.0), 0, 255).astype(
+                jnp.uint8)
+            return rgb_u8, depth.astype(jnp.float16), acc.astype(jnp.float16)
+
+        if mesh is None:
+            fn = jax.jit(block)
+            n_dev = 1
+        else:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as PS
+
+            axis = mesh.axis_names[0]
+            n_dev = mesh.devices.size
+
+            def sharded(arrs, c2w, intr, aabb, nf, row0, col0):
+                slot = jax.lax.axis_index(axis).astype(jnp.float32)
+                return block(arrs, c2w, intr, aabb, nf, row0 + slot * rows,
+                             col0)
+
+            fn = jax.jit(shard_map(
+                sharded, mesh=mesh,
+                in_specs=(PS(),) * 7,
+                out_specs=(PS(axis), PS(axis), PS(axis)),
+            ))
+        self._jitted[key_] = (fn, n_dev)
+        return fn, n_dev
+
+    def render_image(self, *, H: int, W: int, intrinsics, c2w,
+                     key=None, near_far_override=None, download: bool = True,
+                     mesh=None):
+        rows = max(self.chunk_points // (self.budget * W), 1)
+        fn, n_dev = self._fn(W, rows, mesh)
+        rows_disp = rows * n_dev
+        arrs = {k: self.baked[k] for k in ("table", "aabb", "occ_state")}
+
+        c2w_j = jnp.asarray(np.asarray(c2w, np.float32))
+        intr_j = jnp.asarray(np.asarray(intrinsics[:4], np.float32))
+        aabb_j = self.baked["aabb"]
+        n_o, f_o = (near_far_override or (None, None))
+        nf_j = jnp.asarray(
+            [n_o if n_o is not None else -np.inf,
+             f_o if f_o is not None else np.inf], jnp.float32)
+
+        pending = []
+        for r0 in range(0, H, rows_disp):
+            pending.append(
+                (r0, fn(arrs, c2w_j, intr_j, aabb_j, nf_j,
+                        jnp.float32(r0), jnp.float32(0.0))))
+        if not download:
+            for _, outs in pending:
+                for o in outs:
+                    o.block_until_ready()
+            return None, None, None
+        rgb_out = np.zeros((H * W, 3), np.float32)
+        depth_out = np.zeros((H * W,), np.float32)
+        acc_out = np.zeros((H * W,), np.float32)
+        for r0, (rgb_u8, depth, acc) in pending:
+            s, e = r0 * W, min((r0 + rows_disp) * W, H * W)
+            rgb_out[s:e] = np.asarray(rgb_u8)[: e - s].astype(np.float32) / 255.0
+            depth_out[s:e] = np.asarray(depth)[: e - s].astype(np.float32)
+            acc_out[s:e] = np.asarray(acc)[: e - s].astype(np.float32)
+        return (np.clip(rgb_out, 0, 1).reshape(H, W, 3), depth_out, acc_out)

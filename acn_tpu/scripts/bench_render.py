@@ -55,6 +55,12 @@ def main(argv=None):
                     metavar=("LEVELS", "FEATURES"))
     ap.add_argument("--skip", type=str, default="",
                     help="comma-separated regimes to skip")
+    ap.add_argument("--baked", type=int, default=0, metavar="RES",
+                    help="also bench the amortized serving path: bake the "
+                         "field into a RES^3 voxel table (timed separately) "
+                         "and render frames from it — no hash gathers or "
+                         "MLP evals per sample (pipelines/baking.py)")
+    ap.add_argument("--baked_budget", type=int, default=24)
     ap.add_argument("--mesh", type=int, default=-1, metavar="N",
                     help="shard frame row-blocks over a mesh of N devices "
                          "(0 = all available; 1 = a 1-device mesh, which "
@@ -173,6 +179,37 @@ def main(argv=None):
         out[f"{regime}_ms_per_frame"] = round(dt * 1e3, 1)
         out[f"{regime}_ms_e2e"] = round(dt_e2e * 1e3, 1)
         print(json.dumps({regime: out[f"{regime}_fps"]}))  # progress line
+
+    if args.baked > 0:
+        from acn_tpu.pipelines.baking import BakedRenderer, bake_container
+
+        t0 = time.perf_counter()
+        baked = bake_container(
+            variables, cfg, aabb=np.asarray(aabb),
+            resolution=int(args.baked), bake_dirs=4,
+            occ_thre=1e-4,  # the toy field is dim; keep its content
+        )
+        jax.block_until_ready(baked["table"])
+        out["bake_s"] = round(time.perf_counter() - t0, 1)
+        out["baked_res"] = int(args.baked)
+        out["baked_mb"] = round(baked["table"].nbytes / 2**20, 1)
+        br = BakedRenderer(baked, s_max=128,
+                           budget_per_ray=args.baked_budget,
+                           chunk_points=args.chunk_points)
+        for name, (h, w) in (("baked", (H, W)),
+                             ("baked_half_res", (pH, pW))):
+            if name in skip:
+                continue
+            intr_s = intr * (h / H)
+            kw2 = dict(H=h, W=w, intrinsics=intr_s, c2w=c2w, mesh=mesh)
+            br.render_image(**kw2)  # warm/compile
+            t0 = time.perf_counter()
+            for _ in range(args.frames):
+                br.render_image(download=False, **kw2)
+            dt = (time.perf_counter() - t0) / args.frames
+            out[f"{name}_fps"] = round(1.0 / dt, 2)
+            out[f"{name}_ms_per_frame"] = round(dt * 1e3, 1)
+            print(json.dumps({name: out[f"{name}_fps"]}))
 
     out.update({"H": H, "W": W, "ray_samples": args.ray_samples,
                 "occ_s_kept": args.occ_s_kept,

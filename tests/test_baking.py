@@ -1,0 +1,150 @@
+"""Baked serving path: trilinear exactness, analytic compositing parity,
+bake-vs-live container agreement, and the frame renderer (incl. mesh)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from acn_tpu.parallel.mesh import make_render_mesh
+from acn_tpu.pipelines.baking import (
+    BakedRenderer,
+    bake_container,
+    bake_field,
+    pack_baked,
+    render_baked_rays,
+    trilinear_lookup,
+)
+
+from test_render_occ import setup_scene, rays_through
+
+AABB = np.array([[-1, -1, -1], [1, 1, 1]], np.float32)
+
+
+def test_trilinear_lookup_reproduces_trilinear_field():
+    """Trilinear interpolation is exact for functions of the form
+    a + bx + cy + dz (+ cross terms): lookups anywhere must match."""
+    R = 9
+    lin = np.linspace(-1, 1, R, dtype=np.float32)
+    X, Y, Z = np.meshgrid(lin, lin, lin, indexing="ij")
+
+    def f(x, y, z):
+        return np.stack(
+            [0.3 + 0.2 * x, 0.5 - 0.1 * y + 0.05 * x * y,
+             0.2 + 0.3 * z, 1.0 + x + 0.5 * y * z], axis=-1)
+
+    table = f(X, Y, Z).reshape(-1, 4)
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-0.99, 0.99, (512, 3)).astype(np.float32)
+    got = np.asarray(trilinear_lookup(
+        jnp.asarray(table), jnp.asarray(AABB), R, jnp.asarray(pts)))
+    want = f(pts[:, 0], pts[:, 1], pts[:, 2])
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_baked_render_matches_closed_form():
+    """Constant σ, constant rgb inside the whole AABB: the baked render must
+    match the analytic transmittance integral."""
+    sigma0, rgb0 = 1.5, np.array([0.8, 0.4, 0.2], np.float32)
+
+    def field_fn(xd):
+        m = xd.shape[0]
+        return (jnp.full((m,), sigma0),
+                jnp.broadcast_to(jnp.asarray(rgb0), (m, 3)))
+
+    baked = bake_field(field_fn, AABB, 33, bake_dirs=2, chunk=4096,
+                       occ_resolution=16)
+    # rays straight through the box: enter at t=1, exit at t=3 (camera at
+    # x=-2 looking +x)
+    n = 8
+    o = np.tile(np.array([-2.0, 0.0, 0.0], np.float32), (n, 1))
+    o[:, 1] = np.linspace(-0.5, 0.5, n)
+    d = np.tile(np.array([1.0, 0.0, 0.0], np.float32), (n, 1))
+    nf = np.tile(np.array([1.0, 3.0], np.float32), (n, 1))
+    rays = jnp.asarray(np.concatenate([o, d, nf], axis=-1))
+    bg = jnp.ones((n, 3), jnp.float32)
+    # budget = s_max: every bin of this fully-occupied field gets a slot
+    # (a smaller budget drops tail rays' samples by design)
+    rgb, depth, _, acc = render_baked_rays(
+        baked, rays, s_max=256, budget_per_ray=256, bg_rgb=bg)
+
+    acc_true = 1.0 - np.exp(-sigma0 * 2.0)
+    want = rgb0 * acc_true + 1.0 * (1.0 - acc_true)
+    np.testing.assert_allclose(np.asarray(acc), acc_true, atol=0.01)
+    np.testing.assert_allclose(
+        np.asarray(rgb), np.tile(want, (n, 1)), atol=0.01)
+
+
+def test_baked_empty_space_is_culled_and_background():
+    """A field with content only in a small blob: rays that miss it must
+    march ~no samples (occupancy culling) and return pure background."""
+    def field_fn(xd):
+        x = xd[:, :3]
+        inside = jnp.linalg.norm(x - jnp.asarray([0.0, 0.6, 0.6]), axis=-1) < 0.25
+        return jnp.where(inside, 20.0, 0.0), jnp.full((xd.shape[0], 3), 0.5)
+
+    baked = bake_field(field_fn, AABB, 33, bake_dirs=1, chunk=8192,
+                       occ_resolution=16)
+    bins = np.asarray(baked["occ_state"]["binaries"])
+    assert 0 < bins.sum() < 0.3 * bins.size  # sparse, not empty
+
+    n = 4
+    o = np.tile(np.array([-2.0, -0.6, -0.6], np.float32), (n, 1))
+    d = np.tile(np.array([1.0, 0.0, 0.0], np.float32), (n, 1))
+    nf = np.tile(np.array([1.0, 3.0], np.float32), (n, 1))
+    rays = jnp.asarray(np.concatenate([o, d, nf], axis=-1))
+    bg = jnp.ones((n, 3), jnp.float32)
+    rgb, _, _, acc = render_baked_rays(baked, rays, s_max=64,
+                                       budget_per_ray=32, bg_rgb=bg)
+    np.testing.assert_allclose(np.asarray(acc), 0.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rgb), 1.0, atol=1e-5)
+
+
+def test_bake_container_close_to_live_render():
+    """Baking the trained container and rendering the bake tracks the live
+    occ render (resolution + diffuse-average error only — the test scene's
+    color head is direction-dependent, so tolerance is loose but bounded)."""
+    from acn_tpu.nerfs.render_occ import render_rays_occ
+
+    cfg, variables, occ_cfg, occ_states = setup_scene(K=2)
+    baked = bake_container(variables, cfg, aabb=AABB, resolution=48,
+                           bake_dirs=4, chunk=16384, occ_resolution=16,
+                           occ_thre=1e-4)
+    rays = rays_through(16)
+    bg = jnp.ones((rays.shape[0], 3), jnp.float32)
+    rgb_live, _, _, acc_live = render_rays_occ(
+        variables, occ_states, cfg, occ_cfg, rays, s_max=64, s_kept=64,
+        bg_rgb=bg)
+    rgb_bake, _, _, acc_bake = render_baked_rays(
+        baked, rays, s_max=64, budget_per_ray=64, bg_rgb=bg)
+    assert float(jnp.mean(jnp.abs(rgb_bake - rgb_live))) < 0.08
+    assert float(jnp.mean(jnp.abs(acc_bake - acc_live))) < 0.08
+
+
+def test_baked_frame_renderer_and_mesh_equivalence():
+    def field_fn(xd):
+        x = xd[:, :3]
+        inside = jnp.linalg.norm(x, axis=-1) < 0.6
+        rgb = jnp.stack([0.5 + 0.5 * x[:, 0], 0.5 + 0.5 * x[:, 1],
+                         jnp.full_like(x[:, 0], 0.3)], axis=-1)
+        return jnp.where(inside, 8.0, 0.0), jnp.clip(rgb, 0, 1)
+
+    baked = bake_field(field_fn, AABB, 33, bake_dirs=1, chunk=8192,
+                       occ_resolution=16)
+    H = W = 40
+    intr = np.array([0.7 * H, 0.7 * H, W / 2, H / 2], np.float32)
+    c2w = np.array(
+        [[0.0, 0.0, -1.0, -2.0],
+         [0.0, 1.0, 0.0, 0.0],
+         [1.0, 0.0, 0.0, 0.0]], np.float32)
+    r = BakedRenderer(baked, s_max=64, budget_per_ray=24,
+                      chunk_points=20_000)
+    rgb, depth, acc = r.render_image(H=H, W=W, intrinsics=intr, c2w=c2w)
+    assert rgb.shape == (H, W, 3) and np.isfinite(rgb).all()
+    assert acc.reshape(H, W)[H // 2, W // 2] > 0.9  # blob visible
+    assert acc.reshape(H, W)[0, 0] < 0.1  # corner is background
+
+    mesh = make_render_mesh(jax.devices()[:8])
+    rgb_m, _, acc_m = r.render_image(H=H, W=W, intrinsics=intr, c2w=c2w,
+                                     mesh=mesh)
+    np.testing.assert_allclose(rgb_m, rgb, atol=1.5 / 255)
+    np.testing.assert_allclose(acc_m, acc, atol=2e-3)
