@@ -316,6 +316,9 @@ def build_context(P, op: str) -> Dict[str, Any]:
         if not getattr(P, "checkpoint_path", None):
             raise ValueError("--checkpoint_path is required when --op view")
 
+    elif op == "bench":
+        pass  # model/occ context only (scripts/bench_render.py): no dataset
+
     else:
         raise ValueError(f"Unsupported op {op!r}")
 

@@ -70,40 +70,64 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     H, W = args.hw
-    K = 4
-    cfg, variables = _toy_problem(
-        K=K, hash_log2=17, hash_levels=args.hash[0],
-        hash_features=args.hash[1],
-    )
-    occ_cfg = OccConfig(resolution=128, levels=1, near_plane=1e-3,
-                        far_plane=1e3)
-    aabb = jnp.asarray([[-1, -1, -1], [1, 1, 1]], jnp.float32)
+    if args.checkpoint_path:
+        # bench the REAL trained field: restore exactly as eval does
+        # (config layering + ARCH_KEYS + weights + occ grids)
+        from acn_tpu.runner import build_context
+        from acn_tpu.utils.config import parse_args as parse_P
 
-    def occ_state_k(seed):
-        st = init_occ_state(aabb, occ_cfg)
-        bins = (
-            jax.random.uniform(jax.random.PRNGKey(seed), st["binaries"].shape)
-            < args.occupancy_frac
+        P_ck = parse_P(["--op", "eval",
+                        "--checkpoint_path", args.checkpoint_path,
+                        "--prefix", args.prefix])
+        ctx = build_context(P_ck, "bench")  # unknown op ⇒ no dataset load
+        cfg, variables = ctx["cfg"], ctx["variables"]
+        occ_cfg = ctx["occ_cfg"] or OccConfig(resolution=128, levels=1)
+        occ_states = ctx["occ_states"]
+        aabb = jnp.asarray(ctx["global_aabb"], jnp.float32)
+        if occ_states is None:
+            occ_states = jax.vmap(
+                lambda ab: init_occ_state(ab, occ_cfg)
+            )(jnp.asarray(ctx["expert_aabbs"]))
+            occ_states = {
+                **occ_states,
+                "binaries": jnp.ones_like(occ_states["binaries"]),
+            }
+    else:
+        K = 4
+        cfg, variables = _toy_problem(
+            K=K, hash_log2=17, hash_levels=args.hash[0],
+            hash_features=args.hash[1],
         )
-        return {**st, "binaries": bins}
+        occ_cfg = OccConfig(resolution=128, levels=1, near_plane=1e-3,
+                            far_plane=1e3)
+        aabb = jnp.asarray([[-1, -1, -1], [1, 1, 1]], jnp.float32)
 
-    occ_states = jax.tree.map(
-        lambda *xs: jnp.stack(xs), *[occ_state_k(i) for i in range(K)]
-    )
+        def occ_state_k(seed):
+            st = init_occ_state(aabb, occ_cfg)
+            bins = (
+                jax.random.uniform(jax.random.PRNGKey(seed),
+                                   st["binaries"].shape)
+                < args.occupancy_frac
+            )
+            return {**st, "binaries": bins}
 
-    # quadrant expert AABBs (2×2 city grid with ~10% boundary overlap, the
-    # drz layout) so the routed per-expert rect dispatch has real geometry
-    quad = []
-    for iy in (-1, 1):
-        for iz in (-1, 1):
-            lo = [-1.0, min(0.1 * iy, float(iy)), min(0.1 * iz, float(iz))]
-            hi = [1.0, max(0.1 * iy, float(iy)), max(0.1 * iz, float(iz))]
-            quad.append([lo, hi])
-    variables["buffers"]["expert_aabbs"] = jnp.asarray(quad, jnp.float32)
-    variables["buffers"]["centroids"] = jnp.asarray(
-        [[0.0, 0.55 * iy, 0.55 * iz] for iy in (-1, 1) for iz in (-1, 1)],
-        jnp.float32,
-    )
+        occ_states = jax.tree.map(
+            lambda *xs: jnp.stack(xs), *[occ_state_k(i) for i in range(K)]
+        )
+
+        # quadrant expert AABBs (2×2 city grid with ~10% boundary overlap,
+        # the drz layout) so the routed rect dispatch has real geometry
+        quad = []
+        for iy in (-1, 1):
+            for iz in (-1, 1):
+                lo = [-1.0, min(0.1 * iy, float(iy)), min(0.1 * iz, float(iz))]
+                hi = [1.0, max(0.1 * iy, float(iy)), max(0.1 * iz, float(iz))]
+                quad.append([lo, hi])
+        variables["buffers"]["expert_aabbs"] = jnp.asarray(quad, jnp.float32)
+        variables["buffers"]["centroids"] = jnp.asarray(
+            [[0.0, 0.55 * iy, 0.55 * iz] for iy in (-1, 1) for iz in (-1, 1)],
+            jnp.float32,
+        )
 
     def make_renderer(budget, render_s_max=0):
         P = types.SimpleNamespace(
@@ -116,11 +140,15 @@ def main(argv=None):
 
     renderer = make_renderer(0)
 
-    # overhead camera looking down (+x is Down in DRB)
+    # overhead camera looking down (+x is Down in DRB), hovering above the
+    # scene box at half its largest extent
+    lo_np, hi_np = np.asarray(aabb[0]), np.asarray(aabb[1])
+    c_np = 0.5 * (lo_np + hi_np)
+    cam_x = float(lo_np[0] - 0.5 * (hi_np - lo_np).max())
     c2w = np.array(
-        [[0.0, 0.0, -1.0, -2.0],
-         [0.0, 1.0, 0.0, 0.0],
-         [1.0, 0.0, 0.0, 0.0]], np.float32
+        [[0.0, 0.0, -1.0, cam_x],
+         [0.0, 1.0, 0.0, float(c_np[1])],
+         [1.0, 0.0, 0.0, float(c_np[2])]], np.float32
     )
     fy = 0.7 * H
     intr = np.array([fy, fy, W / 2, H / 2], np.float32)
