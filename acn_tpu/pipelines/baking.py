@@ -179,6 +179,41 @@ def bake_container(variables, cfg, *, resolution: int, aabb=None,
                       occ_thre=occ_thre, dtype=dtype)
 
 
+def save_baked(path, baked: Dict[str, Any]) -> None:
+    """Persist the serving asset as one .npz (atomic tmp+rename)."""
+    import os
+
+    st = baked["occ_state"]
+    tmp = str(path) + ".tmp"
+    np.savez_compressed(
+        tmp if str(tmp).endswith(".npz") else tmp,
+        table=np.asarray(baked["table"], np.float32),
+        aabb=np.asarray(baked["aabb"], np.float32),
+        resolution=np.int32(baked["resolution"]),
+        occ_binaries=np.asarray(st["binaries"]),
+        occ_resolution=np.int32(baked["occ_cfg"].resolution),
+    )
+    # numpy appends .npz to names without it
+    src = tmp if tmp.endswith(".npz") else tmp + ".npz"
+    os.replace(src, str(path))
+
+
+def load_baked(path) -> Dict[str, Any]:
+    with np.load(path) as z:
+        R = int(z["resolution"])
+        aabb = z["aabb"]
+        occ_cfg = OccConfig(resolution=int(z["occ_resolution"]), levels=1)
+        state = occ_grid.init_occ_state(jnp.asarray(aabb), occ_cfg)
+        state = {**state, "binaries": jnp.asarray(z["occ_binaries"])}
+        return {
+            "table": jnp.asarray(z["table"]),
+            "aabb": jnp.asarray(aabb),
+            "resolution": R,
+            "occ_state": state,
+            "occ_cfg": occ_cfg,
+        }
+
+
 # ============================ serving ============================
 
 

@@ -242,6 +242,33 @@ def render_video(ctx, n_poses: int = 120, fps: int = 30) -> str:
     near_bias = 0.15 * 0.5 * float(np.linalg.norm(extent))
     bg_val = 0.0 if P.bg_color_default == "black" else 1.0
 
+    if getattr(P, "baked_asset", None):
+        # amortized serving: frames from the baked voxel table (--op bake),
+        # no per-sample hash/MLP work. Fog suppression is a live-field
+        # training-artifact mitigation; the bake carries the field as-is.
+        from acn_tpu.pipelines.baking import BakedRenderer, load_baked
+
+        br = BakedRenderer(
+            load_baked(P.baked_asset),
+            budget_per_ray=int(getattr(P, "occ_budget_per_ray", 0) or 24),
+            chunk_points=int(P.chunk_points),
+            bg_color=P.bg_color_default,
+        )
+        frames = []
+        for i, c2w in enumerate(poses):
+            rgb, _, _ = br.render_image(
+                H=H, W=W, intrinsics=np.asarray([fx, fy, cx, cy]),
+                c2w=c2w[:3], near_far_override=(near_bias, None),
+            )
+            frames.append((np.clip(rgb, 0, 1) * 255).astype(np.uint8))
+            if (i + 1) % 10 == 0:
+                logger.log(f"[video:{path}:baked] frame {i + 1}/{len(poses)}")
+        out_path = str(Path(logger.logdir) / f"{path}_baked.mp4")
+        iio.imwrite(out_path, np.stack(frames), fps=fps, codec="libx264",
+                    quality=8)
+        logger.log(f"[video] wrote {out_path}")
+        return out_path
+
     renderer = Renderer(ctx["cfg"], P, ctx["occ_cfg"])
     use_occ = ctx["occ_cfg"] is not None and ctx["occ_states"] is not None
     dirs = get_ray_directions_np(H, W, fx, fy, cx, cy, center_pixels=True)

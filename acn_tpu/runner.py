@@ -316,8 +316,10 @@ def build_context(P, op: str) -> Dict[str, Any]:
         if not getattr(P, "checkpoint_path", None):
             raise ValueError("--checkpoint_path is required when --op view")
 
-    elif op == "bench":
-        pass  # model/occ context only (scripts/bench_render.py): no dataset
+    elif op in ("bench", "bake"):
+        # model/occ context only — no dataset load
+        if op == "bake" and not getattr(P, "checkpoint_path", None):
+            raise ValueError("--checkpoint_path is required when --op bake")
 
     else:
         raise ValueError(f"Unsupported op {op!r}")
@@ -446,6 +448,31 @@ def op_view(ctx):
     return launch_viewer(ctx)
 
 
+def op_bake(ctx):
+    """Distill the restored field into a baked serving asset
+    (pipelines/baking.py): logs/<fname>/baked_<R>.npz, renderable via
+    ``--op video --baked_asset <path>`` or scripts/bench_render."""
+    from pathlib import Path
+
+    from acn_tpu.pipelines.baking import bake_container, save_baked
+
+    P, logger = ctx["P"], ctx["logger"]
+    R = int(P.bake_resolution)
+    t0 = time.time()
+    baked = bake_container(
+        ctx["variables"], ctx["cfg"], aabb=np.asarray(ctx["global_aabb"]),
+        resolution=R, bake_dirs=int(P.bake_dirs),
+    )
+    occ_frac = float(np.asarray(baked["occ_state"]["binaries"]).mean())
+    out = Path(logger.logdir) / f"baked_{R}.npz"
+    save_baked(out, baked)
+    logger.log(
+        f"[bake] {R}^3 table ({baked['table'].nbytes / 2**20:.0f} MB, "
+        f"{occ_frac:.1%} cells occupied) in {time.time() - t0:.1f}s → {out}"
+    )
+    return str(out)
+
+
 def main(argv=None):
     # live stack dumps on SIGUSR1 — long TPU compiles are indistinguishable
     # from hangs without this
@@ -489,6 +516,8 @@ def main(argv=None):
         op_video(ctx)
     elif P.op == "view":
         op_view(ctx)
+    elif P.op == "bake":
+        op_bake(ctx)
     else:
         raise ValueError(P.op)
 

@@ -168,6 +168,8 @@ def main(argv=None):
     # Serving regimes march coarse bins (occ_render_s_max): the march's
     # N·s_max bin tests dominate frame time at tight eval budgets.
     regimes = [
+        ("preview_b4_half_res", True, 4, (pH, pW), True, 32),
+        ("preview_b4", True, 4, (H, W), True, 32),
         ("preview_half_res", True, 8, (pH, pW), True, 64),
         ("preview", True, 8, (H, W), True, 64),
         ("routed_budget", True, args.occ_budget_per_ray, (H, W), True, 128),

@@ -24,8 +24,21 @@ from typing import Optional
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(description="acn_tpu — TPU-native adaptive NeRF")
     parser.add_argument(
-        "--op", type=str, default="train", choices=["train", "eval", "view", "video"]
+        "--op", type=str, default="train",
+        choices=["train", "eval", "view", "video", "bake"],
     )
+    # --- baked serving asset (op=bake / video --baked_asset)
+    parser.add_argument(
+        "--bake_resolution", type=int, default=512,
+        help="voxel lattice resolution for --op bake (pipelines/baking.py): "
+             "the trained field distills into a (R^3, 4) [rgb, sigma] table "
+             "+ marching occupancy, served with no per-sample hash/MLP work")
+    parser.add_argument("--bake_dirs", type=int, default=4,
+                        help="directions averaged for the diffuse bake")
+    parser.add_argument(
+        "--baked_asset", type=str, default=None,
+        help="path to a baked .npz (from --op bake): op=video renders from "
+             "it instead of the live field")
 
     # --- system
     parser.add_argument("--seed", type=int, default=0)

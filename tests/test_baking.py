@@ -10,7 +10,6 @@ from acn_tpu.pipelines.baking import (
     BakedRenderer,
     bake_container,
     bake_field,
-    pack_baked,
     render_baked_rays,
     trilinear_lookup,
 )
@@ -148,3 +147,30 @@ def test_baked_frame_renderer_and_mesh_equivalence():
                                      mesh=mesh)
     np.testing.assert_allclose(rgb_m, rgb, atol=1.5 / 255)
     np.testing.assert_allclose(acc_m, acc, atol=2e-3)
+
+
+def test_baked_asset_roundtrip(tmp_path):
+    from acn_tpu.pipelines.baking import load_baked, save_baked
+
+    def field_fn(xd):
+        return (jnp.full((xd.shape[0],), 2.0),
+                jnp.full((xd.shape[0], 3), 0.25))
+
+    baked = bake_field(field_fn, AABB, 17, bake_dirs=1, chunk=2048,
+                       occ_resolution=16)
+    p = tmp_path / "asset.npz"
+    save_baked(p, baked)
+    loaded = load_baked(p)
+    np.testing.assert_array_equal(np.asarray(loaded["table"]),
+                                  np.asarray(baked["table"]))
+    np.testing.assert_array_equal(
+        np.asarray(loaded["occ_state"]["binaries"]),
+        np.asarray(baked["occ_state"]["binaries"]))
+    assert loaded["resolution"] == 17
+    # identical render from the loaded asset
+    rays = jnp.asarray(np.array(
+        [[-2, 0, 0, 1, 0, 0, 1.0, 3.0]], np.float32))
+    bg = jnp.ones((1, 3), jnp.float32)
+    a = render_baked_rays(baked, rays, s_max=32, budget_per_ray=32, bg_rgb=bg)
+    b = render_baked_rays(loaded, rays, s_max=32, budget_per_ray=32, bg_rgb=bg)
+    np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]), atol=1e-6)
