@@ -37,7 +37,11 @@ express a large-table random row gather:
 * per-row DMA (``make_async_copy(table.at[idx], …)`` per row) is
   expressible but issue-latency-bound: each descriptor costs ~µs of
   scalar-core + DMA-engine setup, capping a row-per-DMA kernel at well
-  under ~1M rows/s — two orders of magnitude below XLA's gather emitter.
+  under ~1M rows/s — two orders of magnitude below XLA's gather emitter;
+* the Pallas TPU programming guide's documented memory-access surface
+  (re-checked round 4) is block refs, ``pl.ds`` dynamic *slices*, and
+  masked load/store — there is no per-lane vector gather/scatter
+  primitive to build on.
 
 And the XLA emitter is already at the *true* roofline for this access
 pattern: random 8–64 B rows are HBM-transaction-granularity-bound (one
