@@ -53,6 +53,7 @@ class ViewerState:
         self.near_override_m: Optional[float] = None
         self.far_override_m: Optional[float] = None
         self.depth_colormap = "turbo"
+        self.use_baked = False  # serve the --baked_asset table when present
 
 
 def render_frame(
@@ -88,19 +89,30 @@ def render_frame(
         state.near_override_m / psf if state.near_override_m else None,
         state.far_override_m / psf if state.far_override_m else None,
     )
-    rgb, depth, acc = renderer.render_image(
-        variables,
-        occ_states,
-        H=H,
-        W=W,
-        intrinsics=np.array([fx, fy, cx, cy], np.float32),
-        c2w=c2w,
-        aabb=np.asarray(ctx["global_aabb"]),
-        active_module=state.active_module,
-        use_occ=state.use_occ and occ_states is not None,
-        near_far_override=near_far,
-        ray_samples=state.preview_samples if preview else state.full_samples,
-    )
+    baked = ctx.get("baked_renderer")
+    if baked is not None and getattr(state, "use_baked", True):
+        # amortized serving (--baked_asset): the voxel-table field — no
+        # per-sample hash/MLP work, interactive even at full resolution
+        rgb, depth, acc = baked.render_image(
+            H=H, W=W,
+            intrinsics=np.array([fx, fy, cx, cy], np.float32),
+            c2w=c2w,
+            near_far_override=near_far,
+        )
+    else:
+        rgb, depth, acc = renderer.render_image(
+            variables,
+            occ_states,
+            H=H,
+            W=W,
+            intrinsics=np.array([fx, fy, cx, cy], np.float32),
+            c2w=c2w,
+            aabb=np.asarray(ctx["global_aabb"]),
+            active_module=state.active_module,
+            use_occ=state.use_occ and occ_states is not None,
+            near_far_override=near_far,
+            ray_samples=state.preview_samples if preview else state.full_samples,
+        )
 
     if state.display == "depth":
         img = apply_depth_colormap(
@@ -183,6 +195,18 @@ def launch_viewer(ctx: Dict[str, Any]):
     state = ViewerState(P)
     K = ctx["cfg"].num_submodules
 
+    if getattr(P, "baked_asset", None):
+        # serve the baked voxel table (--op bake) — interactive full-res
+        from acn_tpu.pipelines.baking import BakedRenderer, load_baked
+
+        ctx["baked_renderer"] = BakedRenderer(
+            load_baked(P.baked_asset),
+            budget_per_ray=int(getattr(P, "occ_budget_per_ray", 0) or 24),
+            chunk_points=int(P.chunk_points),
+            bg_color=P.bg_color_default,
+        )
+        state.use_baked = True
+
     server = viser.ViserServer(
         host=str(getattr(P, "viewer_public_host", "0.0.0.0")), port=8080
     )
@@ -201,6 +225,13 @@ def launch_viewer(ctx: Dict[str, Any]):
             initial_value="all",
         )
         gui_occ = server.gui.add_checkbox("Occupancy renderer", state.use_occ)
+        gui_baked = None
+        if ctx.get("baked_renderer") is not None:
+            gui_baked = server.gui.add_checkbox(
+                "Serve baked table", True,
+                hint="render from the --baked_asset voxel table (fast) "
+                     "instead of the live field",
+            )
 
     with server.gui.add_folder("Sampling"):
         gui_full_samples = server.gui.add_slider(
@@ -286,10 +317,13 @@ def launch_viewer(ctx: Dict[str, Any]):
         state.preview_samples = int(gui_preview_samples.value)
         state.near_override_m = float(gui_near.value) or None
         state.far_override_m = float(gui_far.value) or None
+        if gui_baked is not None:
+            state.use_baked = bool(gui_baked.value)
 
     for h in (gui_display, gui_bg, gui_module, gui_occ, gui_exposure,
               gui_gamma, gui_depth_cmap, gui_full_samples,
-              gui_preview_samples, gui_near, gui_far):
+              gui_preview_samples, gui_near, gui_far,
+              *([gui_baked] if gui_baked is not None else [])):
         h.on_update(sync_state)
 
     def sync_hparams(_=None):
