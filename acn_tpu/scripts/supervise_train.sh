@@ -36,6 +36,16 @@ tunnel_healthy() {
   # bounded probe so retries cost ~2 min, not a hung attempt. CPU-only
   # platforms pass trivially. $1: probe timeout (healthy-but-slow cold
   # client creation can legitimately exceed 75s, so callers escalate).
+  #
+  # Fast pre-filter: the axon pool relay is a TCP listener on
+  # 127.0.0.1:10000 (AXON_POOL_SVC_OVERRIDE); when the external relay is
+  # down the connect is REFUSED in milliseconds — diagnosed round 4: the
+  # client's make_c_api_client retry loop sleeps forever on exactly this.
+  # Refused ⇒ definitely unhealthy (skip the 75–300 s jax probe and never
+  # spin up a doomed axon client); open ⇒ still verify with a real client.
+  if [ "${JAX_PLATFORMS:-}" = "axon" ]; then
+    timeout 3 bash -c 'exec 3<>/dev/tcp/127.0.0.1/10000' 2>/dev/null || return 1
+  fi
   timeout "${1:-75}" python -c "import jax; jax.devices()" >/dev/null 2>&1
 }
 
@@ -48,6 +58,14 @@ while :; do
   # so a falsely-unhealthy probe can never starve training forever.
   probes=0
   until tunnel_healthy $((probes < 2 ? 75 : 300)); do
+    if [ "${JAX_PLATFORMS:-}" = "axon" ] && \
+       ! timeout 3 bash -c 'exec 3<>/dev/tcp/127.0.0.1/10000' 2>/dev/null; then
+      # relay port REFUSED: unambiguous external outage — launching would
+      # only burn a startup-watchdog cycle; never escalate to launch-anyway
+      echo "[supervisor] relay port 10000 refused (external relay down) — waiting 45s"
+      sleep 45
+      continue
+    fi
     probes=$((probes + 1))
     if [ $probes -ge 6 ]; then
       echo "[supervisor] probe failed ${probes}x — launching anyway (startup watchdog bounds a wedge)"

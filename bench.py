@@ -198,9 +198,23 @@ def _probe_backend(timeout_s: float) -> bool:
     """Bounded TPU-client health probe in a throwaway subprocess (the axon
     relay can wedge client creation indefinitely — supervise_train.sh uses
     the same gate before every trainer relaunch)."""
+    import os
+    import socket
     import subprocess
     import sys
 
+    # fast pre-filter (round-4 diagnosis): the axon pool relay listens on
+    # 127.0.0.1:10000; connection-refused in milliseconds ⇒ the external
+    # relay is down and a jax client would sleep-retry forever.
+    if os.environ.get("JAX_PLATFORMS") == "axon":
+        s = socket.socket()
+        s.settimeout(3.0)
+        try:
+            s.connect(("127.0.0.1", 10000))
+        except OSError:
+            return False
+        finally:
+            s.close()
     try:
         r = subprocess.run(
             [sys.executable, "-c", "import jax; print(len(jax.devices()))"],
