@@ -174,3 +174,44 @@ def test_baked_asset_roundtrip(tmp_path):
     a = render_baked_rays(baked, rays, s_max=32, budget_per_ray=32, bg_rgb=bg)
     b = render_baked_rays(loaded, rays, s_max=32, budget_per_ray=32, bg_rgb=bg)
     np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]), atol=1e-6)
+
+
+def test_zpair_lookup_matches_plain():
+    """pack_zpairs + trilinear_lookup_zpair (4 gathered rows/sample) must
+    reproduce the 8-row lookup exactly, and the frame renderer must be
+    identical in both modes."""
+    from acn_tpu.pipelines.baking import (
+        pack_zpairs, trilinear_lookup_zpair)
+
+    R = 11
+    rng = np.random.default_rng(3)
+    table = rng.uniform(0, 2, (R * R * R, 4)).astype(np.float32)
+    t2 = pack_zpairs(jnp.asarray(table), R)
+    pts = rng.uniform(-0.99, 0.99, (777, 3)).astype(np.float32)
+    a = trilinear_lookup(jnp.asarray(table), jnp.asarray(AABB), R,
+                         jnp.asarray(pts))
+    b = trilinear_lookup_zpair(t2, jnp.asarray(AABB), R, jnp.asarray(pts))
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-6)
+
+    def field_fn(xd):
+        x = xd[:, :3]
+        inside = jnp.linalg.norm(x, axis=-1) < 0.6
+        return jnp.where(inside, 5.0, 0.0), jnp.full((xd.shape[0], 3), 0.4)
+
+    baked = bake_field(field_fn, AABB, 17, bake_dirs=1, chunk=2048,
+                       occ_resolution=16)
+    H = W = 24
+    intr = np.array([0.7 * H, 0.7 * H, W / 2, H / 2], np.float32)
+    c2w = np.array(
+        [[0.0, 0.0, -1.0, -2.0],
+         [0.0, 1.0, 0.0, 0.0],
+         [1.0, 0.0, 0.0, 0.0]], np.float32)
+    kw = dict(H=H, W=W, intrinsics=intr, c2w=c2w)
+    r_plain = BakedRenderer(baked, s_max=32, budget_per_ray=16,
+                            chunk_points=8192, zpair=False)
+    r_z = BakedRenderer(baked, s_max=32, budget_per_ray=16,
+                        chunk_points=8192, zpair=True)
+    rgb_a, _, acc_a = r_plain.render_image(**kw)
+    rgb_b, _, acc_b = r_z.render_image(**kw)
+    np.testing.assert_allclose(rgb_b, rgb_a, atol=1.5 / 255)
+    np.testing.assert_allclose(acc_b, acc_a, atol=1e-3)
