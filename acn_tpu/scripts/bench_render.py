@@ -61,6 +61,11 @@ def main(argv=None):
                          "and render frames from it — no hash gathers or "
                          "MLP evals per sample (pipelines/baking.py)")
     ap.add_argument("--baked_budget", type=int, default=24)
+    ap.add_argument("--baked_smax", type=int, default=128,
+                    help="march bins for the baked regimes — the bin tests "
+                         "(N*s_max occupancy gathers) rival the trilinear "
+                         "lookups at tight budgets, so this is the other "
+                         "half of the baked FPS equation")
     ap.add_argument("--mesh", type=int, default=-1, metavar="N",
                     help="shard frame row-blocks over a mesh of N devices "
                          "(0 = all available; 1 = a 1-device mesh, which "
@@ -223,7 +228,7 @@ def main(argv=None):
         out["bake_s"] = round(time.perf_counter() - t0, 1)
         out["baked_res"] = int(args.baked)
         out["baked_mb"] = round(baked["table"].nbytes / 2**20, 1)
-        br = BakedRenderer(baked, s_max=128,
+        br = BakedRenderer(baked, s_max=args.baked_smax,
                            budget_per_ray=args.baked_budget,
                            chunk_points=args.chunk_points)
         for name, (h, w) in (("baked", (H, W)),
