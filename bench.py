@@ -245,6 +245,29 @@ def _main_with_retry() -> int:
     # is advisory; the attempt below is what counts.
     attempts = 3
     for i in range(attempts):
+        if os.environ.get("JAX_PLATFORMS") == "axon":
+            # never launch into a refused relay port: the axon client
+            # sleep-retries ECONNREFUSED forever, burning the full child
+            # timeout. Poll the port (30s steps, ≤15 min) and skip the
+            # attempt if it never opens — rc=1 in minutes, not hours.
+            import socket
+
+            deadline = time.monotonic() + 900
+            while time.monotonic() < deadline:
+                s = socket.socket()
+                s.settimeout(3.0)
+                try:
+                    s.connect(("127.0.0.1", 10000))
+                    s.close()
+                    break
+                except OSError:
+                    s.close()
+                    time.sleep(30)
+            else:
+                print(f"[bench] attempt {i + 1}/{attempts}: relay port 10000 "
+                      "refused for 15 min — external relay down, skipping",
+                      file=sys.stderr)
+                continue
         try:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--inner"],
