@@ -1,0 +1,84 @@
+#!/usr/bin/env bash
+# Round-4 end-of-round orchestrator. Runs detached; enforces the TPU
+# schedule against a wall-clock deadline so the round's deliverables land
+# even if the interactive session dies:
+#
+#   T_STOP      stop flagship training gracefully (supervisor first, then
+#               SIGTERM to the trainer -> finish-step + checkpoint save)
+#   then        bench.py (mid-round official number + warms the XLA cache
+#               for the driver's round-end run)
+#   then         62-view TTO eval sweep legs (0 / 16 / 128), each leg
+#               launched only if it fits before HARD_END
+#   HARD_END    nothing of ours may touch the TPU after this
+#
+# Usage: round4_closeout.sh <T_STOP_epoch> <HARD_END_epoch> [supervisor_pid]
+set -u
+T_STOP=$1
+HARD_END=$2
+SUP_PID="${3:-}"
+LOG=logs/closeout_r4.out
+say() { echo "[closeout $(date +%H:%M:%S)] $*" >> "$LOG"; }
+
+say "armed: T_STOP=$(date -d @"$T_STOP" +%H:%M:%S) HARD_END=$(date -d @"$HARD_END" +%H:%M:%S) sup=${SUP_PID:-none}"
+
+while [ "$(date +%s)" -lt "$T_STOP" ]; do sleep 30; done
+
+# 1. stop the supervisor so nothing relaunches, then the trainer itself.
+if [ -n "$SUP_PID" ] && kill -0 "$SUP_PID" 2>/dev/null; then
+  kill "$SUP_PID" 2>/dev/null
+  say "supervisor $SUP_PID killed"
+fi
+TRAINER=$(pgrep -f 'nerf_runner.py --op train --fname r3_flagship' | head -1)
+if [ -n "${TRAINER:-}" ]; then
+  say "SIGTERM trainer $TRAINER (graceful finish-step + save)"
+  kill -TERM "$TRAINER" 2>/dev/null
+  # graceful save through the tunnel took ~4 min in round 3; allow 20.
+  for i in $(seq 1 80); do
+    kill -0 "$TRAINER" 2>/dev/null || break
+    sleep 15
+  done
+  if kill -0 "$TRAINER" 2>/dev/null; then
+    say "trainer still alive after 20 min — SIGKILL"
+    kill -9 "$TRAINER" 2>/dev/null
+    sleep 10
+  fi
+  say "trainer stopped"
+else
+  say "no trainer running at T_STOP"
+  # the supervisor may have left a bounded health-probe child (its own
+  # axon client, timeout <=300s) — let it expire before bench opens a
+  # client, else two concurrent clients can wedge the relay.
+  sleep 310
+fi
+
+# 2. bench.py — the official scoreboard number; self-gates on relay health.
+REMAIN=$(( HARD_END - $(date +%s) ))
+if [ "$REMAIN" -gt 900 ]; then
+  say "bench.py starting (budget $((REMAIN>4200 ? 4200 : REMAIN))s)"
+  timeout $((REMAIN>4200 ? 4200 : REMAIN)) python bench.py \
+    > logs/bench_r4_mid.out 2> logs/bench_r4_mid.err
+  say "bench rc=$? → $(tail -c 300 logs/bench_r4_mid.out 2>/dev/null)"
+else
+  say "no time for bench"
+fi
+
+# 3. eval sweep legs, newest checkpoint, reference protocol. Leg cost on one
+# v5e: tto0 ~15 min, tto16 ~25 min, tto128 ~50 min (+ compile slack).
+STAMP=$(date +%m%d_%H%M)
+for LEG in "0:1500" "16:2100" "128:3600"; do
+  TTO=${LEG%%:*}; NEED=${LEG##*:}
+  REMAIN=$(( HARD_END - $(date +%s) ))
+  if [ "$REMAIN" -lt $(( NEED + 300 )) ]; then
+    say "skipping tto=$TTO (need ${NEED}s + slack, have ${REMAIN}s)"
+    continue
+  fi
+  say "eval tto=$TTO starting (budget ${REMAIN}s)"
+  timeout "$REMAIN" python -u nerf_runner.py --op eval \
+    --configPath configs/eval.json \
+    --checkpoint_path logs/r3_flagship --prefix last \
+    --tto "$TTO" --fname "flagship_eval_tto${TTO}_${STAMP}" \
+    > "logs/flagship_eval_tto${TTO}_${STAMP}.out" 2>&1
+  say "eval tto=$TTO rc=$?"
+done
+
+say "closeout done; TPU free"
