@@ -19,10 +19,16 @@ TPU-shaped choices:
 * empty-space skipping reuses the *existing* budget marcher: baking also
   emits a standard occupancy state (binaries = σ-maxpool > threshold), so
   ``march_rays_budget`` + ``composite_packed`` serve unchanged;
-* view dependence is baked diffuse (mean over ``bake_dirs`` directions,
-  degree-0 SH). City-scale aerial content is far from the camera and mostly
-  matte, so the diffuse approximation is measured, not assumed — the bake
-  PSNR-vs-live number comes from ``scripts/bench_render.py --baked``.
+* view dependence is baked as real spherical harmonics: ``sh_degree=0``
+  (diffuse mean over ``bake_dirs`` directions, 4 channels) or
+  ``sh_degree=1`` (SNeRG/PlenOctree-style, 13 channels: 4 SH coefficients
+  × rgb + σ). On this TPU the choice is almost free at serving time —
+  gathers are ROW-COUNT-bound and width-independent (ops/hashgrid.py
+  measurements), so SH-1 widens the gathered rows without adding gathers;
+  the cost is table memory (512³: 2.1 → 7.0 GB f32) and a per-sample
+  4-term dot at decode. City-scale aerial content is mostly matte, so the
+  diffuse default is measured, not assumed — the bake PSNR-vs-live number
+  comes from ``scripts/bench_render.py --baked``.
 
 Reference counterpart: none (the reference has no amortized serving path);
 call sites it replaces: nerfs/ray_rendering.py:577-627 at serving time.
@@ -72,6 +78,29 @@ def fibonacci_dirs(n: int) -> np.ndarray:
     ).astype(np.float32)
 
 
+# real SH basis constants (degree 0 + the three degree-1 terms)
+_SH_C0 = 0.28209479177387814
+_SH_C1 = 0.4886025119029199
+
+
+def sh1_basis(dirs: Array) -> Array:
+    """(…, 3) unit directions → (…, 4) real-SH basis [Y00, Y1-1, Y10, Y11]
+    = [c0, c1·y, c1·z, c1·x] (the standard real-SH ordering)."""
+    x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
+    return jnp.stack(
+        [jnp.full_like(x, _SH_C0), _SH_C1 * y, _SH_C1 * z, _SH_C1 * x],
+        axis=-1,
+    )
+
+
+def decode_sh1(coeffs: Array, dirs: Array) -> Array:
+    """(B, 12) SH-1 coefficients ([4 basis × 3 rgb], basis-major) + (B, 3)
+    view directions → (B, 3) rgb in [0, 1]."""
+    b = sh1_basis(dirs)  # (B, 4)
+    rgb = jnp.einsum("bk,bkc->bc", b, coeffs.reshape(-1, 4, 3))
+    return jnp.clip(rgb, 0.0, 1.0)
+
+
 def bake_field(
     field_fn,  # (M, 6) [xyz, dir] → (σ (M,), rgb (M, 3))
     aabb,  # (2, 3)
@@ -82,23 +111,37 @@ def bake_field(
     occ_resolution: int = 128,
     occ_thre: float = 5e-3,
     dtype=jnp.float32,
+    sh_degree: int = 0,
 ) -> Dict[str, Any]:
     """Evaluate ``field_fn`` over the R³ lattice → baked serving asset.
 
-    Returns {"table": (R³, 4) [rgb, σ], "aabb": (2, 3), "resolution": R,
-    "occ_state": occupancy-state pytree for march_rays_budget}.
+    Returns {"table": (R³, F), "aabb": (2, 3), "resolution": R, "sh_degree",
+    "occ_state": occupancy-state pytree for march_rays_budget}; F = 4
+    ([rgb, σ], ``sh_degree=0``) or 13 ([12 SH-1 rgb coefficients, σ]).
 
-    σ is direction-independent (one eval); rgb is averaged over
-    ``bake_dirs`` Fibonacci directions (degree-0 SH). Evaluation is chunked
-    and jitted once; the table assembles on host (numpy) so arbitrarily
-    large bakes never hold 2 copies in HBM.
+    σ is direction-independent (averaged over the sample directions); rgb
+    is either averaged (degree 0) or least-squares-projected onto the SH-1
+    basis over ``bake_dirs`` Fibonacci directions (≥ 8 enforced for a
+    well-conditioned degree-1 projection). Evaluation is chunked and jitted
+    once; the table assembles on host (numpy) so arbitrarily large bakes
+    never hold 2 copies in HBM.
     """
     R = int(resolution)
+    sh_degree = int(sh_degree)
+    if sh_degree not in (0, 1):
+        raise ValueError(f"sh_degree must be 0 or 1, got {sh_degree}")
     aabb_np = np.asarray(aabb, np.float32)
-    dirs = fibonacci_dirs(max(int(bake_dirs), 1))
+    n_dirs = max(int(bake_dirs), 1 if sh_degree == 0 else 8)
+    dirs = fibonacci_dirs(n_dirs)
+    if sh_degree:
+        # least-squares projection rgb(d) ≈ Σ_k coeff_k · Y_k(d):
+        # coeffs = pinv(B) @ rgb over the sampled directions (host-side,
+        # tiny); shipped into the jitted eval as a (4, D) constant.
+        B = np.asarray(sh1_basis(jnp.asarray(dirs)))  # (D, 4)
+        proj = np.linalg.pinv(B).astype(np.float32)  # (4, D)
 
     @jax.jit
-    def eval_chunk(x):  # (C, 3) → (C, 4)
+    def eval_chunk(x):  # (C, 3) → (C, F)
         def one_dir(d):
             xd = jnp.concatenate(
                 [x, jnp.broadcast_to(d[None, :], x.shape)], axis=-1)
@@ -106,11 +149,15 @@ def bake_field(
             return sigma, rgb
 
         sig, rgb = jax.vmap(one_dir)(jnp.asarray(dirs))  # (D, C) / (D, C, 3)
-        return jnp.concatenate(
-            [jnp.mean(rgb, axis=0), jnp.mean(sig, axis=0)[:, None]], axis=-1)
+        sig = jnp.mean(sig, axis=0)[:, None]
+        if sh_degree == 0:
+            return jnp.concatenate([jnp.mean(rgb, axis=0), sig], axis=-1)
+        coef = jnp.einsum("kd,dcj->ckj", jnp.asarray(proj), rgb)  # (C, 4, 3)
+        return jnp.concatenate([coef.reshape(x.shape[0], 12), sig], axis=-1)
 
     n = R * R * R
-    table = np.empty((n, 4), np.float32)
+    F = 4 if sh_degree == 0 else 13
+    table = np.empty((n, F), np.float32)
     for s in range(0, n, chunk):
         e = min(s + chunk, n)
         x = _lattice_points(aabb_np, R, s, e)
@@ -120,16 +167,18 @@ def bake_field(
         table[s:e] = np.asarray(eval_chunk(jnp.asarray(x)))[: e - s]
 
     return pack_baked(table, aabb_np, R, occ_resolution=occ_resolution,
-                      occ_thre=occ_thre, dtype=dtype)
+                      occ_thre=occ_thre, dtype=dtype, sh_degree=sh_degree)
 
 
 def pack_baked(table: np.ndarray, aabb: np.ndarray, R: int, *,
                occ_resolution: int = 128, occ_thre: float = 5e-3,
-               dtype=jnp.float32) -> Dict[str, Any]:
-    """Assemble the serving asset from a raw (R³, 4) table: clip color,
-    derive the marching occupancy (σ max-pooled onto the occ grid, so a
-    cell is occupied iff ANY covered voxel could contribute alpha)."""
-    sigma = table[:, 3].reshape(R, R, R)
+               dtype=jnp.float32, sh_degree: int = 0) -> Dict[str, Any]:
+    """Assemble the serving asset from a raw (R³, F) table (σ in the last
+    channel): clip color (degree 0 only — SH coefficients may be negative;
+    decode_sh1 clips after evaluation), derive the marching occupancy
+    (σ max-pooled onto the occ grid, so a cell is occupied iff ANY covered
+    voxel could contribute alpha)."""
+    sigma = table[:, -1].reshape(R, R, R)
     Ro = int(min(occ_resolution, R))
     f = R // Ro
     if f * Ro != R:
@@ -144,14 +193,16 @@ def pack_baked(table: np.ndarray, aabb: np.ndarray, R: int, *,
     occ_cfg = OccConfig(resolution=Ro, levels=1)
     state = occ_grid.init_occ_state(jnp.asarray(aabb, jnp.float32), occ_cfg)
     state = {**state, "binaries": jnp.asarray(occ[None], bool)}
+    if sh_degree == 0:
+        packed = np.concatenate(
+            [np.clip(table[:, :3], 0.0, 1.0), table[:, 3:4]], axis=-1)
+    else:
+        packed = table
     return {
-        "table": jnp.asarray(
-            np.concatenate(
-                [np.clip(table[:, :3], 0.0, 1.0), table[:, 3:4]], axis=-1),
-            dtype,
-        ),
+        "table": jnp.asarray(packed, dtype),
         "aabb": jnp.asarray(aabb, jnp.float32),
         "resolution": R,
+        "sh_degree": int(sh_degree),
         "occ_state": state,
         "occ_cfg": occ_cfg,
     }
@@ -160,7 +211,7 @@ def pack_baked(table: np.ndarray, aabb: np.ndarray, R: int, *,
 def bake_container(variables, cfg, *, resolution: int, aabb=None,
                    bake_dirs: int = 4, chunk: int = 2**18,
                    occ_resolution: int = 128, occ_thre: float = 5e-3,
-                   dtype=jnp.float32) -> Dict[str, Any]:
+                   dtype=jnp.float32, sh_degree: int = 0) -> Dict[str, Any]:
     """Bake the full soft-MoE container (the flagship field) over its global
     AABB. The σ-weighted expert blend is evaluated exactly as the live
     renderer does (render_occ._soft_moe_eval), so the bake differs from the
@@ -176,7 +227,7 @@ def bake_container(variables, cfg, *, resolution: int, aabb=None,
 
     return bake_field(field_fn, aabb, resolution, bake_dirs=bake_dirs,
                       chunk=chunk, occ_resolution=occ_resolution,
-                      occ_thre=occ_thre, dtype=dtype)
+                      occ_thre=occ_thre, dtype=dtype, sh_degree=sh_degree)
 
 
 def save_baked(path, baked: Dict[str, Any]) -> None:
@@ -192,6 +243,7 @@ def save_baked(path, baked: Dict[str, Any]) -> None:
         resolution=np.int32(baked["resolution"]),
         occ_binaries=np.asarray(st["binaries"]),
         occ_resolution=np.int32(baked["occ_cfg"].resolution),
+        sh_degree=np.int32(baked.get("sh_degree", 0)),
     )
     # numpy appends .npz to names without it
     src = tmp if tmp.endswith(".npz") else tmp + ".npz"
@@ -209,6 +261,7 @@ def load_baked(path) -> Dict[str, Any]:
             "table": jnp.asarray(z["table"]),
             "aabb": jnp.asarray(aabb),
             "resolution": R,
+            "sh_degree": int(z["sh_degree"]) if "sh_degree" in z else 0,
             "occ_state": state,
             "occ_cfg": occ_cfg,
         }
@@ -307,8 +360,14 @@ def render_baked_rays(
             baked["table"], baked["aabb"], baked["resolution"],
             samples["xd"][:, :3],
         ).astype(jnp.float32)
+    if int(baked.get("sh_degree", 0)) == 1:
+        # interpolate-then-decode ≡ decode-then-interpolate (both linear);
+        # the view direction rides along in the packed samples
+        rgb = decode_sh1(v[:, :12], samples["xd"][:, 3:6])
+    else:
+        rgb = v[:, :3]
     rgb_map, depth, acc, extras = composite_packed(
-        jnp.maximum(v[:, 3], 0.0), v[:, :3], samples, rays.shape[0],
+        jnp.maximum(v[:, -1], 0.0), rgb, samples, rays.shape[0],
         bg_rgb=bg_rgb, alpha_thre=alpha_thre,
     )
     return rgb_map, depth, extras, acc
@@ -348,9 +407,11 @@ class BakedRenderer:
         # array leaves (table, aabb, occ_state) flow through jit
         occ_cfg = self.baked["occ_cfg"]
         resolution = self.baked["resolution"]
+        sh_degree = int(self.baked.get("sh_degree", 0))
 
         def block(arrs, c2w, intr, aabb, nf, row0, col0):
-            baked = {**arrs, "occ_cfg": occ_cfg, "resolution": resolution}
+            baked = {**arrs, "occ_cfg": occ_cfg, "resolution": resolution,
+                     "sh_degree": sh_degree}
             rays = _pinhole_block_rays(rows, W, c2w, intr, aabb, nf, row0,
                                        col0)
             bg_rgb = bg_default_color(None, rays.shape[0], bg)

@@ -462,6 +462,7 @@ def op_bake(ctx):
     baked = bake_container(
         ctx["variables"], ctx["cfg"], aabb=np.asarray(ctx["global_aabb"]),
         resolution=R, bake_dirs=int(P.bake_dirs),
+        sh_degree=int(getattr(P, "bake_sh", 0)),
     )
     occ_frac = float(np.asarray(baked["occ_state"]["binaries"]).mean())
     out = Path(logger.logdir) / f"baked_{R}.npz"

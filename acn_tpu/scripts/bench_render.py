@@ -61,6 +61,9 @@ def main(argv=None):
                          "and render frames from it — no hash gathers or "
                          "MLP evals per sample (pipelines/baking.py)")
     ap.add_argument("--baked_budget", type=int, default=24)
+    ap.add_argument("--baked_sh", type=int, default=0, choices=[0, 1],
+                    help="bake SH-1 view dependence (13-ch rows; gathers "
+                         "stay row-count-bound so FPS should be ~flat)")
     ap.add_argument("--baked_smax", type=int, default=128,
                     help="march bins for the baked regimes — the bin tests "
                          "(N*s_max occupancy gathers) rival the trilinear "
@@ -222,6 +225,7 @@ def main(argv=None):
         baked = bake_container(
             variables, cfg, aabb=np.asarray(aabb),
             resolution=int(args.baked), bake_dirs=4,
+            sh_degree=int(args.baked_sh),
             occ_thre=1e-4,  # the toy field is dim; keep its content
         )
         jax.block_until_ready(baked["table"])

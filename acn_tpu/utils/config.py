@@ -34,7 +34,13 @@ def build_parser() -> argparse.ArgumentParser:
              "the trained field distills into a (R^3, 4) [rgb, sigma] table "
              "+ marching occupancy, served with no per-sample hash/MLP work")
     parser.add_argument("--bake_dirs", type=int, default=4,
-                        help="directions averaged for the diffuse bake")
+                        help="directions averaged for the diffuse bake "
+                             "(raised to >=8 when --bake_sh 1)")
+    parser.add_argument(
+        "--bake_sh", type=int, default=0, choices=[0, 1],
+        help="baked view-dependence: 0 = diffuse [rgb, sigma] (4 ch), "
+             "1 = SH-1 coefficients (13 ch — same gather count at serving "
+             "time, ~3.25x table memory)")
     parser.add_argument(
         "--baked_asset", type=str, default=None,
         help="path to a baked .npz (from --op bake): op=video renders from "

@@ -215,3 +215,104 @@ def test_zpair_lookup_matches_plain():
     rgb_b, _, acc_b = r_z.render_image(**kw)
     np.testing.assert_allclose(rgb_b, rgb_a, atol=1.5 / 255)
     np.testing.assert_allclose(acc_b, acc_a, atol=1e-3)
+
+
+# ---------------------------- SH-1 view dependence ----------------------------
+
+
+def test_sh1_bake_reproduces_direction_linear_field():
+    """SH-1 spans exactly {constant + linear-in-direction}: baking
+    rgb(x, d) = 0.5 + [0.2, -0.15, 0.1]·d-components must reproduce the
+    field at lattice points for arbitrary view directions."""
+    from acn_tpu.pipelines.baking import decode_sh1, trilinear_lookup
+
+    slope = np.array([0.2, -0.15, 0.1], np.float32)
+
+    def field_fn(xd):
+        d = xd[:, 3:6]
+        rgb = 0.5 + d * slope[None, :]  # stays inside [0, 1]
+        return jnp.full((xd.shape[0],), 1.0), rgb
+
+    baked = bake_field(field_fn, AABB, 9, bake_dirs=8, chunk=512,
+                       occ_resolution=8, sh_degree=1)
+    assert baked["sh_degree"] == 1
+    assert baked["table"].shape[-1] == 13
+
+    rng = np.random.default_rng(3)
+    pts = rng.uniform(-0.9, 0.9, (64, 3)).astype(np.float32)
+    dirs = rng.normal(size=(64, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    v = trilinear_lookup(baked["table"], jnp.asarray(AABB), 9,
+                         jnp.asarray(pts))
+    got = np.asarray(decode_sh1(v[:, :12], jnp.asarray(dirs)))
+    want = 0.5 + dirs * slope[None, :]
+    np.testing.assert_allclose(got, want, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(v[:, -1]), 1.0, atol=1e-5)
+
+
+def test_sh1_matches_sh0_on_matte_field():
+    """For a direction-independent field the SH-1 bake must render
+    identically to the diffuse bake (same marching, same σ, c1* ≈ 0)."""
+    def field_fn(xd):
+        x = xd[:, :3]
+        sig = jnp.where(jnp.linalg.norm(x, axis=-1) < 0.5, 3.0, 0.0)
+        rgb = jnp.stack([0.2 + 0.3 * x[:, 0] ** 2,
+                         jnp.full_like(x[:, 0], 0.6),
+                         0.5 - 0.2 * x[:, 2]], axis=-1)
+        return sig, jnp.clip(rgb, 0.0, 1.0)
+
+    kw = dict(bake_dirs=8, chunk=8192, occ_resolution=16, occ_thre=1e-4)
+    b0 = bake_field(field_fn, AABB, 33, sh_degree=0, **kw)
+    b1 = bake_field(field_fn, AABB, 33, sh_degree=1, **kw)
+
+    n = 6
+    o = np.tile(np.array([-2.0, 0.0, 0.0], np.float32), (n, 1))
+    o[:, 1] = np.linspace(-0.4, 0.4, n)
+    d = np.tile(np.array([1.0, 0.0, 0.0], np.float32), (n, 1))
+    nf = np.tile(np.array([1.0, 3.0], np.float32), (n, 1))
+    rays = jnp.asarray(np.concatenate([o, d, nf], axis=-1))
+    bg = jnp.ones((n, 3), jnp.float32)
+    r0 = render_baked_rays(b0, rays, s_max=64, budget_per_ray=32, bg_rgb=bg)
+    r1 = render_baked_rays(b1, rays, s_max=64, budget_per_ray=32, bg_rgb=bg)
+    np.testing.assert_allclose(np.asarray(r1[0]), np.asarray(r0[0]),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(r1[3]), np.asarray(r0[3]),
+                               atol=1e-4)
+
+
+def test_sh1_roundtrip_and_frame_renderer():
+    """save/load preserves sh_degree; BakedRenderer (z-pair packed 26-ch
+    rows) renders the SH-1 asset identically to render_baked_rays math."""
+    import pathlib
+    import tempfile
+
+    from acn_tpu.pipelines.baking import load_baked, save_baked
+
+    def field_fn(xd):
+        x, d = xd[:, :3], xd[:, 3:6]
+        sig = jnp.where(jnp.abs(x).max(axis=-1) < 0.6, 2.0, 0.0)
+        rgb = jnp.clip(0.5 + 0.2 * d, 0.0, 1.0)
+        return sig, rgb
+
+    baked = bake_field(field_fn, AABB, 17, bake_dirs=8, chunk=2048,
+                       occ_resolution=8, occ_thre=1e-4, sh_degree=1)
+    with tempfile.TemporaryDirectory() as td:
+        p = pathlib.Path(td) / "b.npz"
+        save_baked(p, baked)
+        loaded = load_baked(p)
+    assert loaded["sh_degree"] == 1
+
+    H = W = 12
+    intr = np.array([0.8 * H, 0.8 * H, W / 2, H / 2], np.float32)
+    c2w = np.array([[0.0, 0.0, -1.0, -2.0],
+                    [0.0, 1.0, 0.0, 0.0],
+                    [1.0, 0.0, 0.0, 0.0]], np.float32)
+    r_plain = BakedRenderer(loaded, s_max=32, budget_per_ray=16,
+                            chunk_points=4096, zpair=False)
+    r_z = BakedRenderer(loaded, s_max=32, budget_per_ray=16,
+                        chunk_points=4096, zpair=True)
+    img_p, _, acc_p = r_plain.render_image(H=H, W=W, intrinsics=intr, c2w=c2w)
+    img_z, _, acc_z = r_z.render_image(H=H, W=W, intrinsics=intr, c2w=c2w)
+    assert np.isfinite(img_p).all()
+    assert acc_p.max() > 0.5  # the box is actually hit
+    np.testing.assert_allclose(img_z, img_p, atol=2.5 / 255)
