@@ -391,7 +391,9 @@ class BakedRenderer:
         self.s_max = int(s_max)
         self.budget = int(budget_per_ray)
         self.chunk_points = int(chunk_points)
-        self.bg_color = bg_color
+        # 'random' backgrounds are a train-time regularizer (stop experts
+        # painting the sky); a frozen serving asset renders deterministically
+        self.bg_color = "white" if bg_color == "random" else bg_color
         self._jitted = {}
 
     def _fn(self, W: int, rows: int, mesh=None):

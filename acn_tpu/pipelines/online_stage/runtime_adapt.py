@@ -177,9 +177,18 @@ def runtime_evaluate(ctx: Dict[str, Any], tto: int) -> Dict[str, float]:
     key = jax.random.PRNGKey(P.seed)
     logger.log(f"======== TTO: {tto} ========")
 
+    baked = ctx.get("baked_renderer")
+    if baked is not None and tto > 0:
+        # a baked table is a frozen distillation — there are no fast weights
+        # to adapt; score it once under tto=0 semantics instead
+        logger.log(
+            "[baked] --baked_asset set: TTO does not apply to a baked "
+            f"table; rendering tto={tto} leg without adaptation"
+        )
+
     # ---- Phase A: per-metadata-batch TTO on the eval views' rays ----
     t0 = time.perf_counter()
-    if tto > 0:
+    if tto > 0 and baked is None:
         labels = cont.param_group_labels(variables, cfg)
         optimizer = build_optimizer(P, labels, grad_clip=1.0)
         tto_step_fn = make_tto_step(cfg, P, optimizer, occ_cfg, use_occ)
@@ -237,18 +246,24 @@ def runtime_evaluate(ctx: Dict[str, Any], tto: int) -> Dict[str, float]:
     psnrs, ssims, lpipss = [], [], []
     for i, md in enumerate(test_meta):
         key, k = jax.random.split(key)
-        rgb_pred, _, _ = renderer.render_image(
-            variables,
-            occ_states,
-            H=md.H,
-            W=md.W,
-            intrinsics=md.intrinsics,
-            c2w=md.c2w,
-            aabb=global_aabb,
-            key=k,
-            use_occ=use_occ,
-            near_far_override=(P.near, P.far),
-        )
+        if baked is not None:
+            rgb_pred, _, _ = baked.render_image(
+                H=md.H, W=md.W, intrinsics=md.intrinsics, c2w=md.c2w,
+                near_far_override=(P.near, P.far),
+            )
+        else:
+            rgb_pred, _, _ = renderer.render_image(
+                variables,
+                occ_states,
+                H=md.H,
+                W=md.W,
+                intrinsics=md.intrinsics,
+                c2w=md.c2w,
+                aabb=global_aabb,
+                key=k,
+                use_occ=use_occ,
+                near_far_override=(P.near, P.far),
+            )
         gt_srgb = md.load_image().astype(np.float32) / 255.0
 
         pred_cs, gt_cs = color_space_transformer(

@@ -408,6 +408,18 @@ def op_eval(ctx):
     from acn_tpu.pipelines.online_stage.runtime_adapt import runtime_evaluate
 
     P = ctx["P"]
+    if getattr(P, "baked_asset", None):
+        # score the amortized serving path (--op bake) under the standard
+        # eval protocol: full-image PSNR/SSIM vs the val views — the
+        # baked-vs-live quality delta at real scale
+        from acn_tpu.pipelines.baking import BakedRenderer, load_baked
+
+        ctx["baked_renderer"] = BakedRenderer(
+            load_baked(P.baked_asset),
+            budget_per_ray=int(getattr(P, "occ_budget_per_ray", 0) or 24),
+            chunk_points=int(P.chunk_points),
+            bg_color=P.bg_color_default,
+        )
     base_variables = ctx["variables"]  # reset point between TTO settings
     tto_list = [int(t) for t in str(P.tto).split(",")]
     results = []
