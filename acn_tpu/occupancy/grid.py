@@ -359,6 +359,66 @@ def compact_samples_strided(
     return idx, mask, stride.astype(jnp.float32)
 
 
+def coarse_ray_range(
+    state: Dict[str, Any],
+    o: Array,  # (N, 3)
+    d: Array,  # (N, 3)
+    near: Array,  # (N,)
+    far: Array,  # (N,)
+    s_coarse: int = 32,
+    pool_to: int = 32,
+    dilate: int = 2,
+) -> Tuple[Array, Array]:
+    """Tighten per-ray [near, far] to the span of occupied space — the
+    cheap range-finding pre-pass in front of ``march_rays_budget``.
+
+    Serving frames spend most of their gather rows on bin *tests*
+    (BASELINE.md round-4 accounting: 133 M bin tests vs 66 M table lookups
+    per 1080p baked frame): uniform bins span the whole ray while the
+    occupied content (a city terrain slab) usually covers a fraction of
+    it. This tests ``s_coarse`` midpoints per ray against a max-pooled +
+    dilated copy of the occupancy — conservative by construction: a pooled
+    cell is occupied iff ANY covered fine cell is, and ``dilate`` pooled
+    cells of dilation cover segment-vs-midpoint deviation, so no fine
+    occupied bin can fall outside the returned range (property-tested in
+    tests/test_occupancy.py). The fine march then concentrates its bins
+    inside [near', far'] — equal sampling density from fewer bins. Rays
+    whose coarse tests all miss return an empty interval at ``far``.
+
+    O(N·s_coarse) extra gather rows + one tiny pooled grid; worth it when
+    it lets the caller shrink ``s_max`` by more than ``s_coarse`` bins.
+    """
+    binaries = state["binaries"]  # (L, R, R, R)
+    L, R = binaries.shape[0], binaries.shape[1]
+    Rc = min(int(pool_to), R)
+    f = R // Rc
+    if f * Rc != R:
+        Rc, f = R, 1
+    pooled = binaries.reshape(L, Rc, f, Rc, f, Rc, f).max(axis=(2, 4, 6))
+    for _ in range(int(dilate)):
+        for ax in (1, 2, 3):
+            # jnp.roll wraps — cross-boundary dilation only ADDS occupancy
+            # (conservative; costs a sliver of range tightness at the faces)
+            pooled = pooled | jnp.roll(pooled, 1, ax) | jnp.roll(pooled, -1, ax)
+    cstate = {"aabbs": state["aabbs"], "binaries": pooled}
+
+    e = jnp.linspace(0.0, 1.0, s_coarse + 1, dtype=jnp.float32)[None, :]
+    edges = near[:, None] * (1.0 - e) + far[:, None] * e  # (N, S+1)
+    tm = 0.5 * (edges[:, :-1] + edges[:, 1:])  # midpoints (N, S)
+    x = o[:, None, :] + d[:, None, :] * tm[..., None]
+    occ = occupancy_lookup(cstate, x) & (far[:, None] > near[:, None])
+    any_occ = jnp.any(occ, axis=1)
+    first = jnp.argmax(occ, axis=1)
+    last = (s_coarse - 1) - jnp.argmax(occ[:, ::-1], axis=1)
+    lo = jnp.maximum(first - 1, 0)  # pad one coarse bin each side
+    hi = jnp.minimum(last + 2, s_coarse)
+    near2 = jnp.take_along_axis(edges, lo[:, None], axis=1)[:, 0]
+    far2 = jnp.take_along_axis(edges, hi[:, None], axis=1)[:, 0]
+    near2 = jnp.where(any_occ, near2, far)
+    far2 = jnp.where(any_occ, far2, far)
+    return near2, far2
+
+
 def march_rays_budget(
     state: Dict[str, Any],
     rays: Array,  # (N, 8)
@@ -367,6 +427,7 @@ def march_rays_budget(
     budget_per_ray: int,
     key: Optional[jax.Array] = None,
     extra_valid_fn: Optional[Callable[[Array], Array]] = None,
+    s_coarse: int = 0,
 ) -> Dict[str, Array]:
     """Occupancy marching with a **global cross-ray sample budget** — the
     MoE-capacity-factor pattern applied to volume rendering.
@@ -395,6 +456,8 @@ def march_rays_budget(
     near = jnp.maximum(near, cfg.near_plane)
     far = jnp.minimum(far, cfg.far_plane)
     far = jnp.maximum(far, near)
+    if s_coarse:  # trace-time branch: s_coarse=0 (training) leaves HLO as-is
+        near, far = coarse_ray_range(state, o, d, near, far, s_coarse)
 
     N = rays.shape[0]
     B = N * int(budget_per_ray)

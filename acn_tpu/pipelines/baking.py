@@ -341,14 +341,18 @@ def render_baked_rays(
     alpha_thre: float = 0.0,
     key: Optional[jax.Array] = None,
     bg_rgb: Optional[Array] = None,
+    s_coarse: int = 0,
 ) -> Tuple[Array, Array, Array, Array]:
     """Budget-marched rendering of the baked table (the serving hot path):
     march_rays_budget over the baked occupancy → ONE trilinear lookup per
     packed sample → composite_packed. Returns (rgb, depth, extras, acc) —
-    the same convention as render_expert_occ_budget."""
+    the same convention as render_expert_occ_budget. ``s_coarse`` enables
+    the coarse range-finding pre-pass (occupancy/grid.coarse_ray_range):
+    spend s_coarse cheap bin tests to concentrate s_max fine bins on the
+    occupied span — lets serving run a much smaller s_max."""
     samples = occ_grid.march_rays_budget(
         baked["occ_state"], rays, baked["occ_cfg"], s_max, budget_per_ray,
-        key=key,
+        key=key, s_coarse=s_coarse,
     )
     if "table_z" in baked:  # z-pair packed: 4 gathered rows/sample
         v = trilinear_lookup_zpair(
@@ -381,7 +385,8 @@ class BakedRenderer:
 
     def __init__(self, baked: Dict[str, Any], *, s_max: int = 128,
                  budget_per_ray: int = 32, chunk_points: int = 4_000_000,
-                 bg_color: str = "white", zpair: bool = True):
+                 bg_color: str = "white", zpair: bool = True,
+                 s_coarse: int = 0):
         if zpair and "table_z" not in baked:
             baked = {
                 **baked,
@@ -390,6 +395,7 @@ class BakedRenderer:
         self.baked = baked
         self.s_max = int(s_max)
         self.budget = int(budget_per_ray)
+        self.s_coarse = int(s_coarse)
         self.chunk_points = int(chunk_points)
         # 'random' backgrounds are a train-time regularizer (stop experts
         # painting the sky); a frozen serving asset renders deterministically
@@ -419,7 +425,7 @@ class BakedRenderer:
             bg_rgb = bg_default_color(None, rays.shape[0], bg)
             rgb, depth, _, acc = render_baked_rays(
                 baked, rays, s_max=self.s_max, budget_per_ray=self.budget,
-                bg_rgb=bg_rgb,
+                bg_rgb=bg_rgb, s_coarse=self.s_coarse,
             )
             rgb_u8 = jnp.clip(jnp.round(rgb * 255.0), 0, 255).astype(
                 jnp.uint8)

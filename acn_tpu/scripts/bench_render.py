@@ -61,6 +61,11 @@ def main(argv=None):
                          "and render frames from it — no hash gathers or "
                          "MLP evals per sample (pipelines/baking.py)")
     ap.add_argument("--baked_budget", type=int, default=24)
+    ap.add_argument("--baked_coarse", type=int, default=0,
+                    help="coarse range-finder bins for the baked regimes "
+                         "(0 = off): tighten [near,far] per ray so "
+                         "--baked_smax fine bins concentrate on occupied "
+                         "space (pair with a smaller --baked_smax)")
     ap.add_argument("--baked_sh", type=int, default=0, choices=[0, 1],
                     help="bake SH-1 view dependence (13-ch rows; gathers "
                          "stay row-count-bound so FPS should be ~flat)")
@@ -234,7 +239,8 @@ def main(argv=None):
         out["baked_mb"] = round(baked["table"].nbytes / 2**20, 1)
         br = BakedRenderer(baked, s_max=args.baked_smax,
                            budget_per_ray=args.baked_budget,
-                           chunk_points=args.chunk_points)
+                           chunk_points=args.chunk_points,
+                           s_coarse=args.baked_coarse)
         for name, (h, w) in (("baked", (H, W)),
                              ("baked_half_res", (pH, pW))):
             if name in skip:

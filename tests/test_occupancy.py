@@ -184,3 +184,108 @@ def test_march_rays_full_coverage_when_diffuse():
     # scaled dts integrate to ~the full ray extent
     dts = np.asarray(out["dts"])[0]
     np.testing.assert_allclose(dts.sum(), 2.0, rtol=0.05)
+
+
+def test_coarse_ray_range_is_conservative():
+    """Property: every occupied fine bin of the untightened march lies
+    inside the tightened [near', far'] — random sparse grids, random rays."""
+    rng = np.random.default_rng(7)
+    cfg = OccConfig(resolution=32, levels=1, cone_angle=0.0, near_plane=0.0)
+    for trial in range(4):
+        state = og.init_occ_state(AABB, cfg)
+        # a few random occupied blobs
+        bins = np.zeros((1, 32, 32, 32), bool)
+        for _ in range(3):
+            c = rng.integers(4, 28, 3)
+            r = rng.integers(1, 4)
+            sl = tuple(slice(int(a - r), int(a + r)) for a in c)
+            bins[(0, *sl)] = True
+        state = {**state, "binaries": jnp.asarray(bins)}
+
+        n = 64
+        o = rng.uniform(-3, 3, (n, 3)).astype(np.float32)
+        tgt = rng.uniform(-0.8, 0.8, (n, 3)).astype(np.float32)
+        d = tgt - o
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        near = np.full((n,), 0.1, np.float32)
+        far = np.full((n,), 8.0, np.float32)
+
+        near2, far2 = og.coarse_ray_range(
+            state, jnp.asarray(o), jnp.asarray(d), jnp.asarray(near),
+            jnp.asarray(far), s_coarse=32)
+        near2, far2 = np.asarray(near2), np.asarray(far2)
+        assert (near2 >= near - 1e-5).all() and (far2 <= far + 1e-5).all()
+
+        # brute-force fine reference: dense samples along the full range
+        s_fine = 512
+        t = near[:, None] + (far - near)[:, None] * (
+            (np.arange(s_fine) + 0.5) / s_fine)[None, :]
+        x = o[:, None] + d[:, None] * t[..., None]
+        occ = np.asarray(og.occupancy_lookup(state, jnp.asarray(x)))
+        covered = (t >= near2[:, None] - 1e-5) & (t <= far2[:, None] + 1e-5)
+        missed = occ & ~covered
+        assert not missed.any(), (
+            f"trial {trial}: {missed.sum()} occupied samples outside the "
+            "tightened range")
+
+
+def test_march_budget_coarse_range_matches_render():
+    """Rendering through the tightened range reproduces the closed-form
+    integral of a constant-σ slab (content in a fraction of the ray span —
+    exactly the case the range-finder accelerates)."""
+    from acn_tpu.nerfs.render import composite_packed
+
+    cfg = OccConfig(resolution=32, levels=1, cone_angle=0.0, near_plane=0.0)
+    state = og.init_occ_state(AABB, cfg)
+    bins = np.zeros((1, 32, 32, 32), bool)
+    bins[0, :, :, 12:20] = True  # slab: z in [-0.25, 0.25]
+    state = {**state, "binaries": jnp.asarray(bins)}
+
+    n = 16
+    o = np.zeros((n, 3), np.float32)
+    o[:, 2] = 4.0
+    o[:, 0] = np.linspace(-0.5, 0.5, n)
+    d = np.tile(np.array([0.0, 0.0, -1.0], np.float32), (n, 1))
+    nf = np.tile(np.array([0.1, 12.0], np.float32), (n, 1))
+    rays = jnp.asarray(np.concatenate([o, d, nf], axis=-1))
+
+    sigma0, rgb0 = 2.0, np.array([0.9, 0.5, 0.1], np.float32)
+
+    def render(s_max, s_coarse):
+        s = og.march_rays_budget(state, rays, cfg, s_max, s_max,
+                                 s_coarse=s_coarse)
+        m = s["xd"].shape[0]
+        rgb, _, acc, _ = composite_packed(
+            jnp.full((m,), sigma0), jnp.tile(jnp.asarray(rgb0), (m, 1)), s,
+            n, bg_rgb=jnp.ones((n, 3), jnp.float32))
+        return np.asarray(rgb), np.asarray(acc)
+
+    # slab span (+dilation) is ~1/12 of the 12-unit ray range: 48 coarse-
+    # ranged fine bins sample it as densely as ~512 full-range bins
+    rgb_c, acc_c = render(48, 32)
+    acc_true = 1.0 - np.exp(-sigma0 * 0.5)  # slab thickness 0.5 (+ dilation
+    # pads the range, not the occupied bins)
+    want = rgb0 * acc_true + 1.0 * (1.0 - acc_true)
+    np.testing.assert_allclose(acc_c, acc_true, atol=0.06)
+    np.testing.assert_allclose(rgb_c, np.tile(want, (n, 1)), atol=0.05)
+
+    # fully-occupied box: the pre-pass tightens [0.1, 12] to the box span
+    # (t ∈ [3, 5] ± padding) so the same bin count lands MORE samples in
+    # content — and the render still matches the closed form (box depth 2)
+    state_full = {**state, "binaries": jnp.ones((1, 32, 32, 32), bool)}
+
+    def render_full(s_max, s_coarse):
+        s = og.march_rays_budget(state_full, rays, cfg, s_max, s_max,
+                                 s_coarse=s_coarse)
+        m = s["xd"].shape[0]
+        _, _, acc, _ = composite_packed(
+            jnp.full((m,), sigma0), jnp.tile(jnp.asarray(rgb0), (m, 1)), s,
+            n, bg_rgb=jnp.ones((n, 3), jnp.float32))
+        return np.asarray(acc), np.asarray(s["slot_real"]).mean()
+
+    acc_plain, frac_plain = render_full(256, 0)
+    acc_rngd, frac_rngd = render_full(64, 32)
+    acc_box = 1.0 - np.exp(-sigma0 * 2.0)
+    np.testing.assert_allclose(acc_plain, acc_box, atol=0.03)
+    np.testing.assert_allclose(acc_rngd, acc_box, atol=0.03)
+    assert frac_rngd > 2.0 * frac_plain  # 4x fewer bins, denser in content
