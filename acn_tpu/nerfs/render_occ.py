@@ -104,13 +104,19 @@ def render_expert_occ_budget(
     key: Optional[jax.Array] = None,
     bg_rgb: Optional[Array] = None,
     params_override=None,
+    s_coarse: int = 0,
 ) -> Tuple[Array, Array, Array, Array]:
     """Single-expert occupancy rendering over a global cross-ray sample
     budget (the packed serving path of render_rays_occ_budget, restricted
     to one expert's own grid — reference single-expert render:
-    ray_rendering.py:494-558). Returns (rgb_map, depth, extras, acc)."""
+    ray_rendering.py:494-558). ``s_coarse`` enables the range-finding
+    pre-pass on this expert's grid (occ_grid.coarse_ray_range) — the
+    multi-expert union path can't use it (its schedule grid is a dummy;
+    validity comes from the per-expert union), but here the grid is real.
+    Returns (rgb_map, depth, extras, acc)."""
     samples = occ_grid.march_rays_budget(
-        occ_state, rays, occ_cfg, s_max, budget_per_ray, key=key
+        occ_state, rays, occ_cfg, s_max, budget_per_ray, key=key,
+        s_coarse=s_coarse,
     )
     out = cont.container_forward(
         variables, cfg, samples["xd"], active_module=active_module,

@@ -115,6 +115,10 @@ class Renderer:
         # chunk, which dominates frame cost at tight budgets — serving paths
         # may march coarser bins than the eval-parity instrument
         s_max_r = int(getattr(P, "occ_render_s_max", 0) or 0) or int(P.occ_s_max)
+        # range-finding pre-pass for the single-expert (routed-rect) serving
+        # path: spend s_coarse cheap bin tests to concentrate s_max_r fine
+        # bins on the expert's occupied span (occ_grid.coarse_ray_range)
+        s_coarse_r = int(getattr(P, "occ_render_s_coarse", 0) or 0)
 
         def render_chunk(variables, occ_states, rays, key):
             n = rays.shape[0]
@@ -169,6 +173,7 @@ class Renderer:
                         active_module=active_module, s_max=s_max_r,
                         budget_per_ray=budget, alpha_thre=occ_cfg.alpha_thre,
                         key=k_render if randomized else None, bg_rgb=bg,
+                        s_coarse=s_coarse_r,
                     )
                 else:
                     occ_k = jax.tree.map(lambda a: a[active_module], occ_states)

@@ -235,6 +235,12 @@ def build_parser() -> argparse.ArgumentParser:
                              "coarser render bins trade sampling resolution "
                              "for FPS. 0 = occ_s_max (the eval-parity "
                              "instrument)")
+    parser.add_argument("--occ_render_s_coarse", type=int, default=0,
+                        help="range-finding pre-pass bins for the routed "
+                             "(single-expert) render path: tighten each "
+                             "ray's [near,far] to the expert's occupied "
+                             "span so occ_render_s_max fine bins sample it "
+                             "densely (0 = off)")
     parser.add_argument("--occ_warmup", type=int, default=256,
                         help="steps of stratified warmup before the occupancy "
                              "renderer takes over (reference meta_ngp.py:131)")

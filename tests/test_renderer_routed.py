@@ -182,3 +182,22 @@ def test_quadrant_routed_matches_soft_with_background():
     np.testing.assert_allclose(rgb_r, rgb_s, atol=0.04)
     np.testing.assert_allclose(
         acc_r.reshape(H, W), np.asarray(acc_s).reshape(H, W), atol=0.04)
+
+
+def test_routed_budget_with_coarse_range_matches_plain():
+    """--occ_render_s_coarse wiring: the routed budget path with the
+    range-finding pre-pass stays close to the same path without it (same
+    field, different quadrature of the same occupied span)."""
+    cfg, variables, occ_cfg, occ_states = setup_scene(K=2)
+    variables = _tie_experts(variables)
+    H = W = 32
+    intr = np.array([0.7 * H, 0.7 * H, W / 2, H / 2], np.float32)
+    aabb = np.array([[-1, -1, -1], [1, 1, 1]], np.float32)
+    r_plain = _renderer(cfg, occ_cfg, budget=48)
+    P_c = types.SimpleNamespace(**{**vars(r_plain.P), "occ_render_s_coarse": 16})
+    r_coarse = Renderer(cfg, P_c, occ_cfg)
+    kw = dict(H=H, W=W, intrinsics=intr, c2w=CAM, aabb=aabb, use_occ=True)
+    rgb_p, _, acc_p = r_plain.render_image_routed(variables, occ_states, **kw)
+    rgb_c, _, acc_c = r_coarse.render_image_routed(variables, occ_states, **kw)
+    np.testing.assert_allclose(rgb_c, rgb_p, atol=0.06)
+    np.testing.assert_allclose(acc_c, acc_p, atol=0.06)
