@@ -239,18 +239,25 @@ def main(argv=None):
         out["baked_mb"] = round(baked["table"].nbytes / 2**20, 1)
         br = BakedRenderer(baked, s_max=args.baked_smax,
                            budget_per_ray=args.baked_budget,
-                           chunk_points=args.chunk_points,
-                           s_coarse=args.baked_coarse)
-        for name, (h, w) in (("baked", (H, W)),
-                             ("baked_half_res", (pH, pW))):
+                           chunk_points=args.chunk_points)
+        variants = [("baked", br, (H, W)), ("baked_half_res", br, (pH, pW))]
+        if args.baked_coarse > 0:
+            # same bake, range-finding pre-pass + proportionally fewer fine
+            # bins — the march-cost lever (BASELINE round-4 accounting)
+            br_c = BakedRenderer(
+                baked, s_max=max(args.baked_smax // 4, 32),
+                budget_per_ray=args.baked_budget,
+                chunk_points=args.chunk_points, s_coarse=args.baked_coarse)
+            variants.append(("baked_coarse", br_c, (H, W)))
+        for name, r_b, (h, w) in variants:
             if name in skip:
                 continue
             intr_s = intr * (h / H)
             kw2 = dict(H=h, W=w, intrinsics=intr_s, c2w=c2w, mesh=mesh)
-            br.render_image(**kw2)  # warm/compile
+            r_b.render_image(**kw2)  # warm/compile
             t0 = time.perf_counter()
             for _ in range(args.frames):
-                br.render_image(download=False, **kw2)
+                r_b.render_image(download=False, **kw2)
             dt = (time.perf_counter() - t0) / args.frames
             out[f"{name}_fps"] = round(1.0 / dt, 2)
             out[f"{name}_ms_per_frame"] = round(dt * 1e3, 1)

@@ -93,7 +93,7 @@ if [ "$REMAIN" -gt 4500 ]; then
   say "bench_render starting (budget 1500s)"
   timeout 1500 python -m acn_tpu.scripts.bench_render \
     --checkpoint_path logs/r3_flagship --prefix last --frames 3 \
-    --baked 256 \
+    --baked 256 --baked_coarse 32 \
     > "logs/bench_render_r4_${STAMP}.out" 2>&1
   say "bench_render rc=$?"
 fi
