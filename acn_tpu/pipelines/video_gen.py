@@ -253,6 +253,7 @@ def render_video(ctx, n_poses: int = 120, fps: int = 30) -> str:
             budget_per_ray=int(getattr(P, "occ_budget_per_ray", 0) or 24),
             chunk_points=int(P.chunk_points),
             bg_color=P.bg_color_default,
+            s_coarse=int(getattr(P, "occ_render_s_coarse", 0) or 0),
         )
         frames = []
         for i, c2w in enumerate(poses):

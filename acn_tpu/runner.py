@@ -419,6 +419,7 @@ def op_eval(ctx):
             budget_per_ray=int(getattr(P, "occ_budget_per_ray", 0) or 24),
             chunk_points=int(P.chunk_points),
             bg_color=P.bg_color_default,
+            s_coarse=int(getattr(P, "occ_render_s_coarse", 0) or 0),
         )
     base_variables = ctx["variables"]  # reset point between TTO settings
     tto_list = [int(t) for t in str(P.tto).split(",")]

@@ -204,6 +204,7 @@ def launch_viewer(ctx: Dict[str, Any]):
             budget_per_ray=int(getattr(P, "occ_budget_per_ray", 0) or 24),
             chunk_points=int(P.chunk_points),
             bg_color=P.bg_color_default,
+            s_coarse=int(getattr(P, "occ_render_s_coarse", 0) or 0),
         )
         state.use_baked = True
 
