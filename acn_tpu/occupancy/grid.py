@@ -404,9 +404,18 @@ def coarse_ray_range(
 
     e = jnp.linspace(0.0, 1.0, s_coarse + 1, dtype=jnp.float32)[None, :]
     edges = near[:, None] * (1.0 - e) + far[:, None] * e  # (N, S+1)
-    tm = 0.5 * (edges[:, :-1] + edges[:, 1:])  # midpoints (N, S)
-    x = o[:, None, :] + d[:, None, :] * tm[..., None]
-    occ = occupancy_lookup(cstate, x) & (far[:, None] > near[:, None])
+    # two probes per bin (1/4 and 3/4 points): worst-case distance from a
+    # ray/occupancy crossing to the nearest probe is bin_len/4 — with the
+    # default dilation this stays conservative out to bin lengths of
+    # ~8 pooled cells (vs 4 for midpoint-only), i.e. ray ranges several
+    # times the grid AABB at s_coarse=32
+    t0c, t1c = edges[:, :-1], edges[:, 1:]
+    ta = t0c + 0.25 * (t1c - t0c)
+    tb = t0c + 0.75 * (t1c - t0c)
+    xa = o[:, None, :] + d[:, None, :] * ta[..., None]
+    xb = o[:, None, :] + d[:, None, :] * tb[..., None]
+    occ = (occupancy_lookup(cstate, xa) | occupancy_lookup(cstate, xb)) & (
+        far[:, None] > near[:, None])
     any_occ = jnp.any(occ, axis=1)
     first = jnp.argmax(occ, axis=1)
     last = (s_coarse - 1) - jnp.argmax(occ[:, ::-1], axis=1)

@@ -203,12 +203,15 @@ def test_coarse_ray_range_is_conservative():
         state = {**state, "binaries": jnp.asarray(bins)}
 
         n = 64
-        o = rng.uniform(-3, 3, (n, 3)).astype(np.float32)
+        # long-range trial: origins far out, range many times the AABB —
+        # the nasty case for probe-vs-crossing distance in the pre-pass
+        spread = 3.0 if trial % 2 == 0 else 8.0
+        o = rng.uniform(-spread, spread, (n, 3)).astype(np.float32)
         tgt = rng.uniform(-0.8, 0.8, (n, 3)).astype(np.float32)
         d = tgt - o
         d /= np.linalg.norm(d, axis=-1, keepdims=True)
         near = np.full((n,), 0.1, np.float32)
-        far = np.full((n,), 8.0, np.float32)
+        far = np.full((n,), 8.0 if trial % 2 == 0 else 20.0, np.float32)
 
         near2, far2 = og.coarse_ray_range(
             state, jnp.asarray(o), jnp.asarray(d), jnp.asarray(near),
