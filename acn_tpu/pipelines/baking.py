@@ -112,6 +112,7 @@ def bake_field(
     occ_thre: float = 5e-3,
     dtype=jnp.float32,
     sh_degree: int = 0,
+    supersample: int = 1,
 ) -> Dict[str, Any]:
     """Evaluate ``field_fn`` over the R³ lattice → baked serving asset.
 
@@ -122,15 +123,27 @@ def bake_field(
     σ is direction-independent (averaged over the sample directions); rgb
     is either averaged (degree 0) or least-squares-projected onto the SH-1
     basis over ``bake_dirs`` Fibonacci directions (≥ 8 enforced for a
-    well-conditioned degree-1 projection). Evaluation is chunked and jitted
-    once; the table assembles on host (numpy) so arbitrarily large bakes
-    never hold 2 copies in HBM.
+    well-conditioned degree-1 projection). ``supersample=s`` anti-aliases
+    the distillation (SNeRG-style): each table entry averages the field
+    over an s³ sub-lattice of its voxel neighborhood instead of one point
+    sample — s³× the bake evals, zero extra table memory (the averaging
+    happens inside the chunk eval), and thin structures stop shimmering
+    under trilinear reconstruction. Evaluation is chunked and jitted once;
+    the table assembles on host (numpy) so arbitrarily large bakes never
+    hold 2 copies in HBM.
     """
     R = int(resolution)
     sh_degree = int(sh_degree)
     if sh_degree not in (0, 1):
         raise ValueError(f"sh_degree must be 0 or 1, got {sh_degree}")
     aabb_np = np.asarray(aabb, np.float32)
+    ss = max(int(supersample), 1)
+    if ss > 1:
+        sub = (np.stack(
+            np.meshgrid(*([np.arange(ss, dtype=np.float32)] * 3),
+                        indexing="ij"), axis=-1).reshape(-1, 3) + 0.5) / ss - 0.5
+        voxel = (aabb_np[1] - aabb_np[0]) / max(R - 1, 1)
+        sub_w = (sub * voxel[None, :]).astype(np.float32)  # (ss³, 3) world
     n_dirs = max(int(bake_dirs), 1 if sh_degree == 0 else 8)
     dirs = fibonacci_dirs(n_dirs)
     if sh_degree:
@@ -142,10 +155,17 @@ def bake_field(
 
     @jax.jit
     def eval_chunk(x):  # (C, 3) → (C, F)
+        C = x.shape[0]
+        if ss > 1:  # voxel-neighborhood sub-lattice, averaged below
+            x = (x[:, None, :] + jnp.asarray(sub_w)[None, :, :]).reshape(-1, 3)
+
         def one_dir(d):
             xd = jnp.concatenate(
                 [x, jnp.broadcast_to(d[None, :], x.shape)], axis=-1)
             sigma, rgb = field_fn(xd)
+            if ss > 1:
+                sigma = jnp.mean(sigma.reshape(C, ss**3), axis=1)
+                rgb = jnp.mean(rgb.reshape(C, ss**3, 3), axis=1)
             return sigma, rgb
 
         sig, rgb = jax.vmap(one_dir)(jnp.asarray(dirs))  # (D, C) / (D, C, 3)
@@ -153,7 +173,7 @@ def bake_field(
         if sh_degree == 0:
             return jnp.concatenate([jnp.mean(rgb, axis=0), sig], axis=-1)
         coef = jnp.einsum("kd,dcj->ckj", jnp.asarray(proj), rgb)  # (C, 4, 3)
-        return jnp.concatenate([coef.reshape(x.shape[0], 12), sig], axis=-1)
+        return jnp.concatenate([coef.reshape(C, 12), sig], axis=-1)
 
     n = R * R * R
     F = 4 if sh_degree == 0 else 13
@@ -211,7 +231,8 @@ def pack_baked(table: np.ndarray, aabb: np.ndarray, R: int, *,
 def bake_container(variables, cfg, *, resolution: int, aabb=None,
                    bake_dirs: int = 4, chunk: int = 2**18,
                    occ_resolution: int = 128, occ_thre: float = 5e-3,
-                   dtype=jnp.float32, sh_degree: int = 0) -> Dict[str, Any]:
+                   dtype=jnp.float32, sh_degree: int = 0,
+                   supersample: int = 1) -> Dict[str, Any]:
     """Bake the full soft-MoE container (the flagship field) over its global
     AABB. The σ-weighted expert blend is evaluated exactly as the live
     renderer does (render_occ._soft_moe_eval), so the bake differs from the
@@ -227,7 +248,8 @@ def bake_container(variables, cfg, *, resolution: int, aabb=None,
 
     return bake_field(field_fn, aabb, resolution, bake_dirs=bake_dirs,
                       chunk=chunk, occ_resolution=occ_resolution,
-                      occ_thre=occ_thre, dtype=dtype, sh_degree=sh_degree)
+                      occ_thre=occ_thre, dtype=dtype, sh_degree=sh_degree,
+                      supersample=supersample)
 
 
 def save_baked(path, baked: Dict[str, Any]) -> None:

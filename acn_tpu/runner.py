@@ -316,9 +316,9 @@ def build_context(P, op: str) -> Dict[str, Any]:
         if not getattr(P, "checkpoint_path", None):
             raise ValueError("--checkpoint_path is required when --op view")
 
-    elif op in ("bench", "bake"):
+    elif op == "bake":
         # model/occ context only — no dataset load
-        if op == "bake" and not getattr(P, "checkpoint_path", None):
+        if not getattr(P, "checkpoint_path", None):
             raise ValueError("--checkpoint_path is required when --op bake")
 
     else:
@@ -476,6 +476,7 @@ def op_bake(ctx):
         ctx["variables"], ctx["cfg"], aabb=np.asarray(ctx["global_aabb"]),
         resolution=R, bake_dirs=int(P.bake_dirs),
         sh_degree=int(getattr(P, "bake_sh", 0)),
+        supersample=int(getattr(P, "bake_supersample", 1)),
     )
     occ_frac = float(np.asarray(baked["occ_state"]["binaries"]).mean())
     out = Path(logger.logdir) / f"baked_{R}.npz"

@@ -42,6 +42,10 @@ def build_parser() -> argparse.ArgumentParser:
              "1 = SH-1 coefficients (13 ch — same gather count at serving "
              "time, ~3.25x table memory)")
     parser.add_argument(
+        "--bake_supersample", type=int, default=1,
+        help="anti-aliased bake: average the field over an s^3 sub-lattice "
+             "per voxel (s^3x bake cost, no extra memory)")
+    parser.add_argument(
         "--baked_asset", type=str, default=None,
         help="path to a baked .npz (from --op bake): op=video renders from "
              "it instead of the live field")
