@@ -224,7 +224,7 @@ def runtime_evaluate(ctx: Dict[str, Any], tto: int) -> Dict[str, float]:
     duration = time.perf_counter() - t0
 
     # ---- Phase B: full-frame rendering + metrics over FULL images ----
-    renderer = Renderer(cfg, P, occ_cfg)
+    renderer = Renderer(cfg, P, occ_cfg) if baked is None else None
     out_root = Path(logger.logdir) / "rendered"
     out_pred = out_root / f"pred{tto}"
     out_gt = out_root / "gt"
