@@ -50,6 +50,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="path to a baked .npz (from --op bake): op=video renders from "
              "it instead of the live field")
 
+    parser.add_argument(
+        "--use_stored_args", action="store_true",
+        help="accepted for reference-README compatibility; a no-op — the "
+             "checkpoint's stored config is always merged (defaults < "
+             "checkpoint < JSON < CLI), exactly like the reference's "
+             "actual behavior (its README documents this flag but its "
+             "args.py never defines it)")
     # --- system
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--rank", type=int, default=0)
