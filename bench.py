@@ -269,12 +269,15 @@ def _main_with_retry() -> int:
                       file=sys.stderr)
                 continue
         try:
+            # 5400s: three full-scale regimes compile COLD in ~15-20 min
+            # each through the remote tunnel when the persistent cache has
+            # no L8F4 entries — 3600s clipped that worst case
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--inner"],
-                timeout=3600, capture_output=True, text=True,
+                timeout=5400, capture_output=True, text=True,
             )
         except subprocess.TimeoutExpired:
-            print(f"[bench] attempt {i + 1}/{attempts} timed out (3600s)",
+            print(f"[bench] attempt {i + 1}/{attempts} timed out (5400s)",
                   file=sys.stderr)
             continue
         if r.returncode == 0 and '"metric"' in r.stdout:
