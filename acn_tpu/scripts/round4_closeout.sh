@@ -69,11 +69,19 @@ fi
 # on one v5e: tto0 ~15 min, tto16 ~25 min, bench_render ~20 min,
 # tto128 ~50 min (+ compile slack).
 STAMP=$(date +%m%d_%H%M)
+relay_up() {
+  timeout 3 bash -c 'exec 3<>/dev/tcp/127.0.0.1/10000' 2>/dev/null
+}
+
 run_eval_leg() {
   TTO=$1; NEED=$2
   REMAIN=$(( HARD_END - $(date +%s) ))
   if [ "$REMAIN" -lt $(( NEED + 300 )) ]; then
     say "skipping tto=$TTO (need ${NEED}s + slack, have ${REMAIN}s)"
+    return
+  fi
+  if ! relay_up; then
+    say "skipping tto=$TTO (relay port refused — external outage)"
     return
   fi
   say "eval tto=$TTO starting (budget ${REMAIN}s)"
@@ -87,7 +95,7 @@ run_eval_leg() {
 run_eval_leg 0 1500
 run_eval_leg 16 2100
 REMAIN=$(( HARD_END - $(date +%s) ))
-if [ "$REMAIN" -gt 4500 ]; then
+if [ "$REMAIN" -gt 4500 ] && relay_up; then
   # trained-field serving FPS: live preview regimes + baked table + the
   # single-chip mesh path; progress lines land even if the bound trips
   say "bench_render starting (budget 1500s)"
