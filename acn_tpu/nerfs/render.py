@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from acn_tpu.models.trunc_exp import trunc_exp
+from acn_tpu.ops.segscan import seg_excl_sum
 
 Array = jnp.ndarray
 
@@ -182,18 +183,13 @@ def composite_packed(
 
     # segment-exclusive transmittance: Π_{j<i in ray}(1−α_j+ε) via a
     # segmented log-space scan (resets where ray_id changes; real samples are
-    # a contiguous ray-major prefix, so rid transitions mark ray boundaries)
+    # a contiguous ray-major prefix, so rid transitions mark ray boundaries).
+    # Backend: XLA associative_scan by default; ACN_TPU_SEGSCAN=pallas swaps
+    # in the single-HBM-pass Mosaic kernel (ops/segscan.py).
     logt = jnp.log(1.0 - alpha + 1e-10)
     seg_start = jnp.concatenate(
         [jnp.ones((1,), bool), rid[1:] != rid[:-1]], axis=0)
-
-    def _seg_sum(a, b):
-        va, fa = a
-        vb, fb = b
-        return jnp.where(fb, vb, va + vb), fa | fb
-
-    csum, _ = jax.lax.associative_scan(_seg_sum, (logt, seg_start))
-    trans = jnp.exp(csum - logt)  # exclusive within-ray prefix
+    trans = jnp.exp(seg_excl_sum(logt, seg_start))  # exclusive within-ray
     w = jnp.where(real, alpha * trans, 0.0)
 
     rid_safe = jnp.where(real, rid, n_rays)  # padding → dropped

@@ -53,6 +53,13 @@ hand-written kernel; the wins live in ROW COUNT (the layout work above)
 and row locality, not in the lookup loop. A future SparseCore-equipped
 platform (or Mosaic gaining real VMEM gathers) would slot in under
 ``HashGridConfig.backend = "pallas"`` via this module.
+
+Where Pallas DOES pay on this pipeline is the other packed-path primitive:
+the segment-exclusive transmittance scan of ``composite_packed``, whose XLA
+spelling (``lax.associative_scan``) costs ~2·log2(B) HBM passes. That kernel
+— blocked segmented Hillis–Steele with a sequential SMEM carry across grid
+steps, one HBM pass total — lives in ``acn_tpu.ops.segscan`` and is wired
+behind ``ACN_TPU_SEGSCAN=pallas`` (``scripts/bench_segscan.py`` measures it).
 """
 
 from __future__ import annotations

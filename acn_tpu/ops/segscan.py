@@ -1,0 +1,212 @@
+"""Pallas TPU kernel: segmented exclusive prefix-sum over packed samples.
+
+The budget marching path packs every valid sample of a batch contiguously by
+ray (occupancy/grid.py ``march_rays_budget``), and compositing then needs the
+segment-exclusive prefix sum of per-sample log-transmittance — the reset-at-
+ray-start scan of ``composite_packed`` (nerfs/render.py). The reference gets
+the equivalent quantity from nerfacc's fused CUDA ``render_weight_from_density``
+over its packed buffers (reference nerfs/ray_rendering.py:477-481).
+
+``jax.lax.associative_scan`` is the XLA spelling, but it lowers to a
+log-depth tree: ~2·log2(B) elementwise passes over the (B,) buffer, each a
+round-trip through HBM. At serving scale (B ≈ 10⁶ packed samples per chunk)
+the op is pure memory traffic, so the tree costs ~20× the streaming minimum.
+
+This kernel does the whole scan in ONE pass over HBM, which is the roofline
+for the op:
+
+* the packed buffer is viewed as (G·R, 128) and the grid walks G blocks of
+  (R, 128) float32 in VMEM;
+* within a block, a segmented Hillis–Steele scan runs along lanes (7 shifted
+  adds) and then along sublanes (log2(R) shifted adds) — all VPU work on
+  VMEM-resident tiles, no HBM re-reads;
+* the running carry of the last open segment crosses grid steps through an
+  SMEM scratch cell. TPU Pallas grids execute sequentially on a core, which
+  makes the cross-block recurrence exact (same pattern as accumulation
+  kernels; see the double-buffering section of the Pallas guide).
+
+Segmented combine (associative, non-commutative):
+    (va, fa) • (vb, fb) = (vb + (1-fb)·va, fa ∨ fb)
+where f marks "a segment boundary lies inside the scanned window". Flags are
+carried as float32 0/1 — Mosaic vector ops on bools are not portable.
+
+The backward pass is the same kernel run on the reversed buffer: the
+transpose of a segment-exclusive forward sum is a segment-exclusive REVERSE
+sum with boundaries shifted to segment ends, so ``seg_excl_sum`` is a
+``jax.custom_vjp`` that calls itself on ``g[::-1]``.
+
+Dispatch: ``seg_excl_sum(x, seg_start, backend=...)`` with backends
+  * ``"xla"``       — the associative_scan spelling (default in production
+                      until the Mosaic build is validated on real TPU; the
+                      axon relay was down for all of round 4, so the kernel
+                      has only been exercised in interpret mode so far);
+  * ``"pallas"``    — the Mosaic kernel;
+  * ``"interpret"`` — the same kernel body in the Pallas interpreter (CPU
+                      test suites);
+  * ``"auto"``      — honors ``ACN_TPU_SEGSCAN`` env var, else "xla".
+``scripts/bench_segscan.py`` measures pallas-vs-xla on hardware.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pltpu imports fail on some CPU-only stacks; the kernel still works
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAVE_PLTPU = True
+except Exception:  # pragma: no cover
+    pltpu = None
+    _HAVE_PLTPU = False
+
+LANES = 128
+
+
+def _shift_down(v, d, axis):
+    """v_{i-d} with zero fill — static shift via pad+slice (Mosaic- and
+    interpreter-portable; avoids pltpu.roll which the interpreter lacks)."""
+    if d == 0:
+        return v
+    pad = [(0, 0)] * v.ndim
+    pad[axis] = (d, 0)
+    sl = [slice(None)] * v.ndim
+    sl[axis] = slice(0, v.shape[axis] - d)
+    return jnp.pad(v[tuple(sl)], pad)
+
+
+def _seg_scan_kernel(x_ref, f_ref, out_ref, carry_ref, *, rows):
+    """One (rows, 128) block: segmented INCLUSIVE scan, then convert to
+    exclusive and add the cross-block carry."""
+    # reset carry at the first grid step
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        carry_ref[0] = 0.0
+
+    x = x_ref[:].astype(jnp.float32)
+    f = f_ref[:].astype(jnp.float32)
+
+    # --- segmented Hillis–Steele along lanes (within each sublane row) ---
+    v, g = x, f
+    d = 1
+    while d < LANES:
+        v = v + (1.0 - g) * _shift_down(v, d, axis=1)
+        g = jnp.minimum(g + _shift_down(g, d, axis=1), 1.0)
+        d *= 2
+
+    # --- combine across sublane rows: scan the (rows, 1) row summaries ---
+    t = v[:, LANES - 1 :]  # (rows,1) row segment-total at last lane
+    b = g[:, LANES - 1 :]  # (rows,1) row contains a boundary
+    it, ib = t, b
+    d = 1
+    while d < rows:
+        it = it + (1.0 - ib) * _shift_down(it, d, axis=0)
+        ib = jnp.minimum(ib + _shift_down(ib, d, axis=0), 1.0)
+        d *= 2
+
+    # carry entering row r = carried inclusive row-scan at row r-1. The
+    # cross-block carry rides along wherever no boundary has intervened:
+    # I_r = it_r + (1−ib_r)·chunk_carry, and carry_col_r = I_{r−1} with
+    # I_{−1} = chunk_carry (the r=0 case falls out of the zero-filled shift).
+    chunk_carry = carry_ref[0]
+    carry_col = _shift_down(it, 1, axis=0) + (
+        1.0 - _shift_down(ib, 1, axis=0)
+    ) * chunk_carry
+
+    incl = v + (1.0 - g) * carry_col  # broadcast over lanes
+    out_ref[:] = incl - x  # exclusive = inclusive − self
+
+    # carry leaving this block = carried inclusive row-scan at the last row
+    carry_ref[0] = it[rows - 1, 0] + (1.0 - ib[rows - 1, 0]) * chunk_carry
+
+
+def _seg_excl_sum_pallas(x, seg_start, *, rows=64, interpret=False):
+    """Segment-exclusive prefix sum of ``x`` (1-D) with resets where
+    ``seg_start`` — single-pass Pallas kernel. Static shapes only."""
+    (b,) = x.shape
+    block = rows * LANES
+    g = -(-b // block)  # cdiv
+    pad = g * block - b
+    xf = jnp.pad(x.astype(jnp.float32), (0, pad))
+    # padding elements are their own segments: the carry chain stays exact
+    ff = jnp.pad(seg_start.astype(jnp.float32), (0, pad), constant_values=1.0)
+    x2 = xf.reshape(g * rows, LANES)
+    f2 = ff.reshape(g * rows, LANES)
+
+    if not _HAVE_PLTPU:  # pragma: no cover - CPU stacks without pltpu
+        raise RuntimeError("pallas TPU backend unavailable")
+    kernel = functools.partial(_seg_scan_kernel, rows=rows)
+    if interpret:
+        spec = pl.BlockSpec((rows, LANES), lambda i: (i, 0))
+    else:
+        spec = pl.BlockSpec(
+            (rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+    out = pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((g * rows, LANES), jnp.float32),
+        scratch_shapes=[pltpu.SMEM((1,), jnp.float32)],
+        interpret=interpret,
+    )(x2, f2)
+    return out.reshape(-1)[:b]
+
+
+def _seg_excl_sum_xla(x, seg_start):
+    """The associative_scan spelling (nerfs/render.py's original path)."""
+
+    def _op(a, c):
+        va, fa = a
+        vb, fb = c
+        return jnp.where(fb, vb, va + vb), fa | fb
+
+    incl, _ = jax.lax.associative_scan(
+        _op, (x.astype(jnp.float32), seg_start.astype(bool))
+    )
+    return incl - x.astype(jnp.float32)
+
+
+def resolve_backend(backend: str = "auto") -> str:
+    if backend == "auto":
+        backend = os.environ.get("ACN_TPU_SEGSCAN", "xla")
+    if backend not in ("xla", "pallas", "interpret"):
+        raise ValueError(f"unknown segscan backend {backend!r}")
+    return backend
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def seg_excl_sum(x, seg_start, backend="auto"):
+    """excl_i = Σ_{j<i, same segment} x_j  (resets where seg_start).
+
+    ``seg_start`` must be True at index 0. Differentiable in ``x``.
+    """
+    backend = resolve_backend(backend)
+    if backend == "xla":
+        return _seg_excl_sum_xla(x, seg_start)
+    return _seg_excl_sum_pallas(x, seg_start, interpret=backend == "interpret")
+
+
+def _fwd(x, seg_start, backend):
+    return seg_excl_sum(x, seg_start, backend), seg_start
+
+
+def _bwd(backend, seg_start, g):
+    # transpose of the forward: grad_j = Σ_{i>j, same segment} g_i — the
+    # segment-exclusive REVERSE sum, with boundaries at segment ENDS. After
+    # reversal, position k corresponds to j = B-1-k and the segment "starts"
+    # (in reversed order) where the original segment ends: end_j =
+    # seg_start_{j+1} (or j = B-1).
+    end = jnp.concatenate(
+        [seg_start[1:], jnp.ones((1,), seg_start.dtype)], axis=0
+    )
+    grad = seg_excl_sum(g[::-1], end[::-1], backend)[::-1]
+    return (grad, None)
+
+
+seg_excl_sum.defvjp(_fwd, _bwd)
