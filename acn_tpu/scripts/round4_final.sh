@@ -61,6 +61,17 @@ while [ "$(date +%s)" -lt "$T_WRAP" ]; do
     continue
   fi
 
+  if [ "$RENDER_DONE" = 1 ] && [ ! -f logs/bench_segscan_r4.out ] \
+     && [ "$REMAIN" -gt 600 ]; then
+    # first on-hardware validation of the Mosaic segscan kernel
+    # (ops/segscan.py): device numerics cross-check + bandwidth
+    say "bench_segscan starting (budget 900s)"
+    timeout 900 python -m acn_tpu.scripts.bench_segscan \
+      > logs/bench_segscan_r4.out 2>&1
+    say "bench_segscan rc=$? → $(tail -c 200 logs/bench_segscan_r4.out)"
+    continue
+  fi
+
   if [ -z "$SUP_PID" ] && [ "$REMAIN" -gt 2700 ]; then
     say "trainer head-start: supervisor resume of r3_flagship (${REMAIN}s)"
     nohup bash acn_tpu/scripts/supervise_train.sh r3_flagship \
@@ -119,6 +130,11 @@ fi
   echo '## bench_render (step-60 field, round-4 serving regimes)'
   echo '```'
   tail -c 2000 logs/bench_render_r4_final.out 2>/dev/null || echo "(relay never returned — not run)"
+  echo '```'
+  echo
+  echo '## bench_segscan (Pallas kernel first on-chip validation)'
+  echo '```'
+  tail -c 1200 logs/bench_segscan_r4.out 2>/dev/null || echo "(relay never returned — not run)"
   echo '```'
 } > RESULTS_r4.md
 git add RESULTS_r4.md && git commit -q -m "Round-4 measured results (auto-committed by final orchestrator)" \
