@@ -68,15 +68,18 @@ LANES = 128
 
 
 def _shift_down(v, d, axis):
-    """v_{i-d} with zero fill — static shift via pad+slice (Mosaic- and
-    interpreter-portable; avoids pltpu.roll which the interpreter lacks)."""
+    """v_{i-d} with zero fill — static shift via zeros-concat + slice.
+    Concatenate has a first-class Mosaic lowering (tpu.concatenate) and is
+    interpreter-portable, unlike lax.pad or pltpu.roll."""
     if d == 0:
         return v
-    pad = [(0, 0)] * v.ndim
-    pad[axis] = (d, 0)
+    zshape = list(v.shape)
+    zshape[axis] = d
     sl = [slice(None)] * v.ndim
     sl[axis] = slice(0, v.shape[axis] - d)
-    return jnp.pad(v[tuple(sl)], pad)
+    return jnp.concatenate(
+        [jnp.zeros(zshape, v.dtype), v[tuple(sl)]], axis=axis
+    )
 
 
 def _seg_scan_kernel(x_ref, f_ref, out_ref, carry_ref, *, rows):
