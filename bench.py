@@ -78,6 +78,13 @@ def main():
     K, T, S, Q = 4, 3, 4000, 2000
     INNER = 8
     RAY_SAMPLES = 96
+    iters = 5
+    # ACN_BENCH_SCALE="K,T,S,Q,INNER,iters": tiny-scale smoke of the exact
+    # regime-construction code (tests/test_bench_smoke.py) — the scoreboard
+    # path must never hit its first Python error at round end on the chip
+    scale = os.environ.get("ACN_BENCH_SCALE")
+    if scale:
+        K, T, S, Q, INNER, iters = (int(v) for v in scale.split(","))
 
     # cell-layout tables ≈ the reference's 2^19-entry × 2-float corner
     # tables in parameter capacity. Default split L8/F4: equal encoding
@@ -139,7 +146,7 @@ def main():
 
     # ---- stratified regime (warmup phase of a real run) ----
     step_strat = jax.jit(make_meta_train_step(cfg, P, opt), donate_argnums=(0,))
-    dt_strat = _bench_step(step_strat, fresh_state(), batch, dummy_occ_states(K))
+    dt_strat = _bench_step(step_strat, fresh_state(), batch, dummy_occ_states(K), iters)
     strat_rps = rays_per_step / dt_strat
 
     # ---- occupancy regime (steady state): ~10% occupied grid ----
@@ -160,7 +167,7 @@ def main():
     step_occ = jax.jit(
         make_meta_train_step(cfg, P, opt, occ_cfg), donate_argnums=(0,)
     )
-    dt_occ = _bench_step(step_occ, fresh_state(), batch, occ_states)
+    dt_occ = _bench_step(step_occ, fresh_state(), batch, occ_states, iters)
     occ_rps = rays_per_step / dt_occ
 
     # ---- occupancy + global cross-ray sample budget (32 evals/ray avg) ----
@@ -170,7 +177,7 @@ def main():
             make_meta_train_step(cfg, P_budget, opt, occ_cfg),
             donate_argnums=(0,),
         )
-        dt_budget = _bench_step(step_budget, fresh_state(), batch, occ_states)
+        dt_budget = _bench_step(step_budget, fresh_state(), batch, occ_states, iters)
         budget_rps = rays_per_step / dt_budget
     except Exception:
         dt_budget, budget_rps = float("inf"), 0.0
