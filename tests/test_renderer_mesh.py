@@ -79,3 +79,30 @@ def test_mesh_routed_matches_single_device():
         variables, occ_states, mesh=_mesh(), **kw)
     np.testing.assert_allclose(rgb_m, rgb_1, atol=1.5 / 255)
     np.testing.assert_allclose(acc_m, acc_1, atol=2e-3)
+
+
+def test_mesh_frame_with_pallas_segscan_backend(monkeypatch):
+    """The segscan kernel backend inside the mesh shard_map: the kernel's
+    pallas_call produces outputs without vma metadata, which the strict
+    shard_map default rejects at trace time — the mesh paths pass
+    check_vma=False (renderer.py/baking.py) and the pixels must match the
+    XLA-backend single-device render exactly."""
+    cfg, variables, occ_cfg, occ_states = setup_scene(K=2)
+    H, W = 32, 24
+    intr = np.array([0.7 * H, 0.7 * H, W / 2, H / 2], np.float32)
+    aabb = np.array([[-1, -1, -1], [1, 1, 1]], np.float32)
+    kw = dict(H=H, W=W, intrinsics=intr, c2w=CAM, aabb=aabb, use_occ=True)
+
+    monkeypatch.delenv("ACN_TPU_SEGSCAN", raising=False)
+    r_xla = _renderer(cfg, occ_cfg, budget=16)
+    rgb_1, dep_1, acc_1 = r_xla.render_image(variables, occ_states, **kw)
+
+    # fresh Renderer: the backend is resolved at trace time and jitted fns
+    # are cached per instance
+    monkeypatch.setenv("ACN_TPU_SEGSCAN", "interpret")
+    r_pl = _renderer(cfg, occ_cfg, budget=16)
+    rgb_m, dep_m, acc_m = r_pl.render_image(variables, occ_states,
+                                            mesh=_mesh(), **kw)
+    np.testing.assert_allclose(rgb_m, rgb_1, atol=1.5 / 255)
+    np.testing.assert_allclose(acc_m, acc_1, atol=2e-3)
+    np.testing.assert_allclose(dep_m, dep_1, atol=2e-3, rtol=1e-3)
