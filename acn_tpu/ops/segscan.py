@@ -149,6 +149,14 @@ def _seg_excl_sum_pallas(x, seg_start, *, rows=64, interpret=False):
         spec = pl.BlockSpec(
             (rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
         )
+    kwargs = {}
+    if not interpret:
+        # the cross-block carry REQUIRES in-order grid execution: mark the
+        # grid dim "arbitrary" (sequential) so Mosaic never splits it across
+        # cores on multi-core chips (v5e is single-core; v4/v5p are not)
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)
+        )
     out = pl.pallas_call(
         kernel,
         grid=(g,),
@@ -157,6 +165,7 @@ def _seg_excl_sum_pallas(x, seg_start, *, rows=64, interpret=False):
         out_shape=jax.ShapeDtypeStruct((g * rows, LANES), jnp.float32),
         scratch_shapes=[pltpu.SMEM((1,), jnp.float32)],
         interpret=interpret,
+        **kwargs,
     )(x2, f2)
     return out.reshape(-1)[:b]
 
