@@ -197,6 +197,12 @@ def seg_excl_sum(x, seg_start, backend="auto"):
     """excl_i = Σ_{j<i, same segment} x_j  (resets where seg_start).
 
     ``seg_start`` must be True at index 0. Differentiable in ``x``.
+
+    The "auto" backend reads ``ACN_TPU_SEGSCAN`` at TRACE time and the
+    choice is baked into jit caches (including Renderer._jitted): changing
+    the env var mid-process does not retrace already-compiled shapes. A/B
+    the backends in fresh processes (or fresh Renderer instances), as
+    ``scripts/bench_segscan.py`` does.
     """
     backend = resolve_backend(backend)
     if backend == "xla":

@@ -468,13 +468,16 @@ class BakedRenderer:
                 return block(arrs, c2w, intr, aabb, nf, row0 + slot * rows,
                              col0)
 
-            # check_vma=False — same rationale as renderer.py's mesh path:
-            # collective-free disjoint blocks + pallas outputs lack vma
+            # same rationale as renderer.py's mesh path: pallas outputs
+            # lack vma metadata, so the strict check must go only when the
+            # segscan kernel backend is active
+            from acn_tpu.ops.segscan import resolve_backend
+
             fn = jax.jit(shard_map(
                 sharded, mesh=mesh,
                 in_specs=(PS(),) * 7,
                 out_specs=(PS(axis), PS(axis), PS(axis)),
-                check_vma=False,
+                check_vma=resolve_backend() == "xla",
             ))
         self._jitted[key_] = (fn, n_dev)
         return fn, n_dev

@@ -273,16 +273,18 @@ class Renderer:
             rgb_u8 = jnp.clip(jnp.round(rgb * 255.0), 0, 255).astype(jnp.uint8)
             return rgb_u8, depth.astype(jnp.float16), acc.astype(jnp.float16)
 
-        # check_vma=False: the per-device program is collective-free over
-        # disjoint row blocks, and pallas_call (the opt-in segscan kernel in
-        # composite_packed) produces outputs without vma metadata — the
-        # strict default rejects it at trace time
+        # pallas_call (the opt-in segscan kernel in composite_packed)
+        # produces outputs without vma metadata, which the strict shard_map
+        # default rejects at trace time — drop the check only when that
+        # backend is active; the default XLA path keeps it
+        from acn_tpu.ops.segscan import resolve_backend
+
         fn = jax.jit(shard_map(
             frame_block, mesh=mesh,
             in_specs=(PS(), PS(), PS(), PS(), PS(), PS(), PS(), PS(),
                       PS(axis)),
             out_specs=(PS(axis), PS(axis), PS(axis)),
-            check_vma=False,
+            check_vma=resolve_backend() == "xla",
         ))
         self._jitted[key_] = (fn, n_dev)
         return fn, n_dev

@@ -28,6 +28,23 @@ def main():
                     help="mean samples per ray segment")
     args = ap.parse_args()
 
+    # fast-fail while the axon relay is down: client creation sleep-retries
+    # a refused 127.0.0.1:10000 forever (bench.py._probe_backend's pattern)
+    if os.environ.get("JAX_PLATFORMS") == "axon":
+        import socket
+
+        s = socket.socket()
+        s.settimeout(3.0)
+        try:
+            s.connect(("127.0.0.1", 10000))
+        except OSError:
+            raise SystemExit(
+                "[bench_segscan] axon relay port 10000 refused — external "
+                "relay down; a jax client would hang forever. Aborting."
+            )
+        finally:
+            s.close()
+
     cache = os.environ.get(
         "ACN_TPU_COMPILATION_CACHE", os.path.expanduser("~/.cache/acn_tpu_xla")
     )

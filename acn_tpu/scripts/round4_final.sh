@@ -51,13 +51,19 @@ while [ "$(date +%s)" -lt "$T_WRAP" ]; do
       continue
     fi
     B=$(( REMAIN - 300 > 2400 ? 2400 : REMAIN - 300 ))
-    say "bench_render starting (budget ${B}s)"
+    RENDER_TRIES=$(( ${RENDER_TRIES:-0} + 1 ))
+    say "bench_render attempt $RENDER_TRIES starting (budget ${B}s)"
     timeout "$B" python -m acn_tpu.scripts.bench_render \
       --checkpoint_path logs/r3_flagship --prefix last --frames 3 \
       --baked 256 --baked_coarse 32 \
       > logs/bench_render_r4_final.out 2>&1
-    say "bench_render rc=$?"
-    RENDER_DONE=1
+    RC=$?
+    say "bench_render rc=$RC"
+    # a flapping relay can kill an attempt in minutes — keep the FPS
+    # deliverable alive for later windows instead of one-shot forfeiting
+    if [ "$RC" -eq 0 ] || [ "$RENDER_TRIES" -ge 3 ]; then
+      RENDER_DONE=1
+    fi
     continue
   fi
 
@@ -65,8 +71,9 @@ while [ "$(date +%s)" -lt "$T_WRAP" ]; do
      && [ "$REMAIN" -gt 600 ]; then
     # first on-hardware validation of the Mosaic segscan kernel
     # (ops/segscan.py): device numerics cross-check + bandwidth
-    say "bench_segscan starting (budget 900s)"
-    timeout 900 python -m acn_tpu.scripts.bench_segscan \
+    B=$(( REMAIN - 60 > 900 ? 900 : REMAIN - 60 ))
+    say "bench_segscan starting (budget ${B}s)"
+    timeout "$B" python -m acn_tpu.scripts.bench_segscan \
       > logs/bench_segscan_r4.out 2>&1
     say "bench_segscan rc=$? → $(tail -c 200 logs/bench_segscan_r4.out)"
     continue
@@ -115,7 +122,7 @@ fi
   echo "TPU) was **down from round start (~22:13 UTC Aug 17) continuously**;"
   echo "supervisor logs recorded a refused port every 45 s. Every"
   echo "TPU-dependent deliverable below reflects whatever window (if any)"
-  echo "the relay offered before T_WRAP=$(date -d @"$T_WRAP" +%H:%M:%SZ)."
+  echo "the relay offered before T_WRAP=$(date -u -d @"$T_WRAP" +%H:%M:%SZ)."
   echo
   echo '## Flagship training state'
   echo '```'
