@@ -28,22 +28,17 @@ def main():
                     help="mean samples per ray segment")
     args = ap.parse_args()
 
-    # fast-fail while the axon relay is down: client creation sleep-retries
-    # a refused 127.0.0.1:10000 forever (bench.py._probe_backend's pattern)
+    # fast-fail only when a PINNED relay endpoint refuses TCP (client
+    # creation sleep-retries a refused endpoint forever); with no pinned
+    # endpoint this is a no-op and the bounded run proceeds.
     if os.environ.get("JAX_PLATFORMS") == "axon":
-        import socket
+        from acn_tpu.utils.relay import relay_tcp_down
 
-        s = socket.socket()
-        s.settimeout(3.0)
-        try:
-            s.connect(("127.0.0.1", 10000))
-        except OSError:
+        if relay_tcp_down():
             raise SystemExit(
-                "[bench_segscan] axon relay port 10000 refused — external "
-                "relay down; a jax client would hang forever. Aborting."
+                "[bench_segscan] pinned axon relay endpoint refused — "
+                "external relay down; a jax client would hang forever."
             )
-        finally:
-            s.close()
 
     cache = os.environ.get(
         "ACN_TPU_COMPILATION_CACHE", os.path.expanduser("~/.cache/acn_tpu_xla")

@@ -37,14 +37,16 @@ tunnel_healthy() {
   # platforms pass trivially. $1: probe timeout (healthy-but-slow cold
   # client creation can legitimately exceed 75s, so callers escalate).
   #
-  # Fast pre-filter: the axon pool relay is a TCP listener on
-  # 127.0.0.1:10000 (AXON_POOL_SVC_OVERRIDE); when the external relay is
-  # down the connect is REFUSED in milliseconds — diagnosed round 4: the
-  # client's make_c_api_client retry loop sleeps forever on exactly this.
-  # Refused ⇒ definitely unhealthy (skip the 75–300 s jax probe and never
-  # spin up a doomed axon client); open ⇒ still verify with a real client.
-  if [ "${JAX_PLATFORMS:-}" = "axon" ]; then
-    timeout 3 bash -c 'exec 3<>/dev/tcp/127.0.0.1/10000' 2>/dev/null || return 1
+  # Fast pre-filter: ONLY when the env pins the relay endpoint
+  # (AXON_POOL_SVC_OVERRIDE=host:port) is a refused TCP connect decisive
+  # (diagnosed round 4: the client's make_c_api_client retry loop sleeps
+  # forever on exactly this). Round-5 environments run the relay on a
+  # dynamic local port with no override set — there the TCP check is
+  # skipped and the bounded jax probe below decides.
+  if [ "${JAX_PLATFORMS:-}" = "axon" ] && [ -n "${AXON_POOL_SVC_OVERRIDE:-}" ]; then
+    local ep_host ep_port
+    ep_host="${AXON_POOL_SVC_OVERRIDE%:*}"; ep_port="${AXON_POOL_SVC_OVERRIDE##*:}"
+    timeout 3 bash -c "exec 3<>/dev/tcp/${ep_host:-127.0.0.1}/${ep_port}" 2>/dev/null || return 1
   fi
   timeout "${1:-75}" python -c "import jax; jax.devices()" >/dev/null 2>&1
 }
@@ -58,11 +60,12 @@ while :; do
   # so a falsely-unhealthy probe can never starve training forever.
   probes=0
   until tunnel_healthy $((probes < 2 ? 75 : 300)); do
-    if [ "${JAX_PLATFORMS:-}" = "axon" ] && \
-       ! timeout 3 bash -c 'exec 3<>/dev/tcp/127.0.0.1/10000' 2>/dev/null; then
-      # relay port REFUSED: unambiguous external outage — launching would
-      # only burn a startup-watchdog cycle; never escalate to launch-anyway
-      echo "[supervisor] relay port 10000 refused (external relay down) — waiting 45s"
+    if [ "${JAX_PLATFORMS:-}" = "axon" ] && [ -n "${AXON_POOL_SVC_OVERRIDE:-}" ] && \
+       ! timeout 3 bash -c "exec 3<>/dev/tcp/${AXON_POOL_SVC_OVERRIDE%:*}/${AXON_POOL_SVC_OVERRIDE##*:}" 2>/dev/null; then
+      # pinned relay endpoint REFUSED: unambiguous external outage —
+      # launching would only burn a startup-watchdog cycle; never escalate
+      # to launch-anyway. (No pinned endpoint ⇒ this branch never fires.)
+      echo "[supervisor] pinned relay endpoint refused (external relay down) — waiting 45s"
       sleep 45
       continue
     fi

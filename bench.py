@@ -204,32 +204,11 @@ def main():
 def _probe_backend(timeout_s: float) -> bool:
     """Bounded TPU-client health probe in a throwaway subprocess (the axon
     relay can wedge client creation indefinitely — supervise_train.sh uses
-    the same gate before every trainer relaunch)."""
-    import os
-    import socket
-    import subprocess
-    import sys
+    the same gate before every trainer relaunch). The TCP pre-filter is
+    only decisive when the env pins the relay endpoint (utils/relay.py)."""
+    from acn_tpu.utils.relay import probe_backend
 
-    # fast pre-filter (round-4 diagnosis): the axon pool relay listens on
-    # 127.0.0.1:10000; connection-refused in milliseconds ⇒ the external
-    # relay is down and a jax client would sleep-retry forever.
-    if os.environ.get("JAX_PLATFORMS") == "axon":
-        s = socket.socket()
-        s.settimeout(3.0)
-        try:
-            s.connect(("127.0.0.1", 10000))
-        except OSError:
-            return False
-        finally:
-            s.close()
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c", "import jax; print(len(jax.devices()))"],
-            timeout=timeout_s, capture_output=True,
-        )
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    return probe_backend(timeout_s)
 
 
 def _main_with_retry() -> int:
@@ -253,27 +232,20 @@ def _main_with_retry() -> int:
     attempts = 3
     for i in range(attempts):
         if os.environ.get("JAX_PLATFORMS") == "axon":
-            # never launch into a refused relay port: the axon client
-            # sleep-retries ECONNREFUSED forever, burning the full child
-            # timeout. Poll the port (30s steps, ≤15 min) and skip the
-            # attempt if it never opens — rc=1 in minutes, not hours.
-            import socket
+            # never launch into a refused PINNED relay endpoint: the axon
+            # client sleep-retries ECONNREFUSED forever, burning the full
+            # child timeout. With no pinned endpoint (this environment),
+            # relay_tcp_down() is always False and the attempt proceeds —
+            # the 5400s child timeout bounds a wedge.
+            from acn_tpu.utils.relay import relay_tcp_down
 
             deadline = time.monotonic() + 900
-            while time.monotonic() < deadline:
-                s = socket.socket()
-                s.settimeout(3.0)
-                try:
-                    s.connect(("127.0.0.1", 10000))
-                    s.close()
-                    break
-                except OSError:
-                    s.close()
-                    time.sleep(30)
-            else:
-                print(f"[bench] attempt {i + 1}/{attempts}: relay port 10000 "
-                      "refused for 15 min — external relay down, skipping",
-                      file=sys.stderr)
+            while relay_tcp_down() and time.monotonic() < deadline:
+                time.sleep(30)
+            if relay_tcp_down():
+                print(f"[bench] attempt {i + 1}/{attempts}: pinned relay "
+                      "endpoint refused for 15 min — external relay down, "
+                      "skipping", file=sys.stderr)
                 continue
         try:
             # 5400s: three full-scale regimes compile COLD in ~15-20 min
