@@ -68,18 +68,21 @@ LANES = 128
 
 
 def _shift_down(v, d, axis):
-    """v_{i-d} with zero fill — static shift via zeros-concat + slice.
-    Concatenate has a first-class Mosaic lowering (tpu.concatenate) and is
-    interpreter-portable, unlike lax.pad or pltpu.roll."""
+    """v_{i-d} with zero fill — circular ``pltpu.roll`` + iota mask.
+
+    First on-chip run (round 5) showed the zeros-concat spelling does NOT
+    compile: Mosaic rejects ``tpu.concatenate`` whose operands carry
+    different sublane/lane offsets ("result/input offset mismatch on
+    non-concat dimension") — the offset-d slice can't be concatenated with
+    a freshly-materialized zeros block. ``tpu.dynamic_rotate`` (what roll
+    lowers to) has no such operand-layout constraint, and the zero fill
+    becomes a branch-free ``where`` against an iota, which Mosaic lowers
+    natively. Works identically in interpret mode (validated vs numpy)."""
     if d == 0:
         return v
-    zshape = list(v.shape)
-    zshape[axis] = d
-    sl = [slice(None)] * v.ndim
-    sl[axis] = slice(0, v.shape[axis] - d)
-    return jnp.concatenate(
-        [jnp.zeros(zshape, v.dtype), v[tuple(sl)]], axis=axis
-    )
+    rolled = pltpu.roll(v, d, axis)
+    idx = jax.lax.broadcasted_iota(jnp.int32, v.shape, axis)
+    return jnp.where(idx >= d, rolled, jnp.zeros_like(v))
 
 
 def _seg_scan_kernel(x_ref, f_ref, out_ref, carry_ref, *, rows):
@@ -101,9 +104,15 @@ def _seg_scan_kernel(x_ref, f_ref, out_ref, carry_ref, *, rows):
         g = jnp.minimum(g + _shift_down(g, d, axis=1), 1.0)
         d *= 2
 
-    # --- combine across sublane rows: scan the (rows, 1) row summaries ---
-    t = v[:, LANES - 1 :]  # (rows,1) row segment-total at last lane
-    b = g[:, LANES - 1 :]  # (rows,1) row contains a boundary
+    # --- combine across sublane rows, at FULL lane width ---
+    # Row summaries live in the last lane; rotate it to lane 0 (offset-0
+    # layout) and broadcast across lanes — the softmax-normalizer pattern
+    # Mosaic handles natively. Narrow (rows,1) arithmetic is avoided
+    # entirely: every op below is (rows, LANES), trading 127 redundant
+    # lanes of VPU work (free — the op is memory-bound) for layouts with
+    # no sublane/lane offset hazards.
+    t = jnp.broadcast_to(pltpu.roll(v, 1, 1)[:, :1], v.shape)
+    b = jnp.broadcast_to(pltpu.roll(g, 1, 1)[:, :1], g.shape)
     it, ib = t, b
     d = 1
     while d < rows:
@@ -123,8 +132,17 @@ def _seg_scan_kernel(x_ref, f_ref, out_ref, carry_ref, *, rows):
     incl = v + (1.0 - g) * carry_col  # broadcast over lanes
     out_ref[:] = incl - x  # exclusive = inclusive − self
 
-    # carry leaving this block = carried inclusive row-scan at the last row
-    carry_ref[0] = it[rows - 1, 0] + (1.0 - ib[rows - 1, 0]) * chunk_carry
+    # carry leaving this block = carried inclusive row-scan at the last
+    # row. Extract it as a masked full-array max — every lane of a row in
+    # ``it``/``ib`` holds the same value, and max over {value, -inf} is
+    # exact — instead of a scalar vector-extract, whose (1,1) strided-
+    # slice layout is another Mosaic offset hazard.
+    rowid = jax.lax.broadcasted_iota(jnp.int32, it.shape, 0)
+    is_last = rowid == (rows - 1)
+    neg = jnp.float32(-jnp.inf)
+    last_t = jnp.max(jnp.where(is_last, it, neg))
+    last_b = jnp.max(jnp.where(is_last, ib, neg))
+    carry_ref[0] = last_t + (1.0 - last_b) * chunk_carry
 
 
 def _seg_excl_sum_pallas(x, seg_start, *, rows=64, interpret=False):
