@@ -561,6 +561,7 @@ def march_rays(
     s_kept: int,
     key: Optional[jax.Array] = None,
     extra_valid_fn: Optional[Callable[[Array], Array]] = None,
+    report_budget: int = 0,
 ) -> Dict[str, Array]:
     """Occupancy-guided marching → fixed-layout samples.
 
@@ -579,6 +580,14 @@ def march_rays(
 
     ``extra_valid_fn`` lets callers AND in additional per-point validity
     (e.g. "any expert's occupancy" for the container path).
+
+    ``report_budget > 0`` adds an ``overflow`` key: the fraction of valid
+    candidates that ``march_rays_budget`` WOULD drop at that per-ray
+    budget on this batch. It costs one reduction and lets the trainer's
+    auto-regime controller measure, from the safe strided path, when the
+    grids have sparsified enough for the faster global-budget path
+    (observed this round: switching blind at warmup dropped 54-70% of
+    valid samples batch-tail-first and sent eval PSNR falling).
     """
     o, d = rays[:, :3], rays[:, 3:6]
     near, far = rays[:, 6], rays[:, 7]
@@ -609,10 +618,17 @@ def march_rays(
     xk = jnp.take_along_axis(x, idx[..., None], axis=1)
     dts = (t1k - t0k) * scale[:, None]
 
-    return {
+    out = {
         "t_starts": t0k,
         "t_ends": t1k,
         "dts": dts,
         "positions": xk,
         "mask": mask,
     }
+    if report_budget > 0:
+        n_valid = jnp.sum(valid)
+        cap = jnp.int32(rays.shape[0] * int(report_budget))
+        out["overflow"] = jnp.maximum(n_valid - cap, 0) / jnp.maximum(
+            n_valid, 1
+        )
+    return out

@@ -65,7 +65,13 @@ def make_bg_fn(cfg: ContainerConfig, P) -> Callable:
     return bg_fn
 
 
-def make_episode_loss(cfg: ContainerConfig, P, occ_cfg: Optional[OccConfig] = None):
+def make_episode_loss(
+    cfg: ContainerConfig,
+    P,
+    occ_cfg: Optional[OccConfig] = None,
+    budget_override: Optional[int] = None,
+    report_budget: int = 0,
+):
     """Episode loss builder.
 
     Returns (loss_fn, prepare_samples):
@@ -96,7 +102,15 @@ def make_episode_loss(cfg: ContainerConfig, P, occ_cfg: Optional[OccConfig] = No
     chunk = int(getattr(P, "train_chunk_rays", 0) or 0)
     use_amp = bool(getattr(P, "use_amp", False))
 
-    budget = int(getattr(P, "occ_budget_per_ray", 0) or 0)
+    # budget_override lets the trainer's auto-regime controller build a
+    # strided (0) and a budget (P-value) variant of the SAME config;
+    # report_budget makes the strided variant measure the would-be
+    # overflow so the controller knows when the budget path is safe.
+    budget = (
+        int(budget_override)
+        if budget_override is not None
+        else int(getattr(P, "occ_budget_per_ray", 0) or 0)
+    )
 
     def prepare_samples(occ_state, rays, key):
         if not use_occ or (chunk > 0 and rays.shape[0] > chunk):
@@ -109,7 +123,7 @@ def make_episode_loss(cfg: ContainerConfig, P, occ_cfg: Optional[OccConfig] = No
             )
         return occ_grid.march_rays(
             occ_state, rays, occ_cfg, int(P.occ_s_max), int(P.occ_s_kept),
-            key=key,
+            key=key, report_budget=int(report_budget),
         )
 
     def render_chunk(expert_params, aabb, occ_state, rays, bg, key, samples=None):
@@ -497,6 +511,8 @@ def make_meta_train_step(
     P,
     optimizer: optax.GradientTransformation,
     occ_cfg: Optional[OccConfig] = None,
+    budget_override: Optional[int] = None,
+    report_budget: int = 0,
 ):
     """Build the jitted meta-train step.
 
@@ -505,8 +521,12 @@ def make_meta_train_step(
 
     Returns (state, metrics) with metrics {loss_out, loss_in, psnr_out,
     psnr_in, grad_norm} — the reference's per-region scalars
-    (meta_train_step.py:193-253)."""
-    episode_loss, prep = make_episode_loss(cfg, P, occ_cfg)
+    (meta_train_step.py:193-253). ``budget_override``/``report_budget``
+    build the auto-regime variants (see make_episode_loss)."""
+    episode_loss, prep = make_episode_loss(
+        cfg, P, occ_cfg,
+        budget_override=budget_override, report_budget=report_budget,
+    )
     algo = P.algo.lower()
     inner_lr = float(P.inner_lr)
     inner_iter = int(P.inner_iter)

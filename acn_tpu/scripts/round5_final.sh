@@ -19,10 +19,16 @@
 # Usage: round5_final.sh <T_WRAP_epoch>   (run via run_in_background)
 set -u
 T_WRAP=$1
-RUN=logs/r5_flagship
 LOG=logs/final_r5.out
 say() { echo "[final $(date +%H:%M:%S)] $*" >> "$LOG"; }
 remain() { echo $(( T_WRAP - $(date +%s) )); }
+# the logger versions run dirs (r5_flagship, r5_flagship_v1, ...) on each
+# relaunch; always read the NEWEST one holding a full 'last' save
+newest_run() {
+  ls -dt logs/r5_flagship* 2>/dev/null | while read -r d; do
+    [ -f "$d/last.model" ] && { echo "$d"; break; }
+  done
+}
 
 mkdir -p logs
 say "armed: T_WRAP=$(date -d @"$T_WRAP" +%H:%M:%S)"
@@ -47,7 +53,9 @@ while ps aux | grep -q "[s]upervise_train.sh r5_flagship"; do
   fi
   sleep 60
 done
-say "training window closed at $(date +%H:%M:%S); remain=$(remain)s"
+RUN=$(newest_run)
+[ -z "${RUN:-}" ] && RUN=logs/r5_flagship
+say "training window closed at $(date +%H:%M:%S); remain=$(remain)s; RUN=$RUN"
 sleep 10   # let the axon client fully release the chip
 
 # ---- 1. Mosaic segscan kernel on-chip validation.

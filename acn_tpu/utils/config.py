@@ -239,6 +239,25 @@ def build_parser() -> argparse.ArgumentParser:
                              "capacity-style packing; 0 = per-ray s_kept "
                              "layout). Unmasks the full data-dependent "
                              "sparsity of a sharp occupancy grid")
+    parser.add_argument("--occ_regime", default="auto",
+                        choices=["auto", "strided", "budget"],
+                        help="marching regime when --occ_budget_per_ray>0: "
+                             "'auto' (default) trains on the unbiased per-"
+                             "ray strided path while measuring the would-be "
+                             "drop rate at the configured budget, switching "
+                             "to the ~2x faster global-budget marcher once "
+                             "it stays under --occ_auto_thresh (blind "
+                             "budget marching on dense post-warmup grids "
+                             "dropped 54-70%% of valid samples and sent "
+                             "eval PSNR falling); 'budget'/'strided' force "
+                             "a regime. The auto decision persists through "
+                             "checkpoints (P.occ_regime='budget')")
+    parser.add_argument("--occ_auto_thresh", type=float, default=0.02,
+                        help="auto-regime safety threshold: max would-be "
+                             "drop fraction for the budget marcher")
+    parser.add_argument("--occ_auto_patience", type=int, default=3,
+                        help="consecutive in-threshold readings (at "
+                             "--print_step cadence) before auto switches")
     parser.add_argument("--occ_render_s_max", type=int, default=0,
                         help="march bins per ray for RENDERING (viewer/video/"
                              "serving). The march cost is N*s_max bins per "

@@ -292,3 +292,57 @@ def test_march_budget_coarse_range_matches_render():
     np.testing.assert_allclose(acc_plain, acc_box, atol=0.03)
     np.testing.assert_allclose(acc_rngd, acc_box, atol=0.03)
     assert frac_rngd > 2.0 * frac_plain  # 4x fewer bins, denser in content
+
+
+def test_march_rays_report_budget_matches_budget_overflow():
+    """march_rays(report_budget=b)['overflow'] must equal the drop fraction
+    march_rays_budget actually realizes at budget b on the same batch (the
+    auto-regime controller's safety signal). key=None pins both paths to
+    deterministic bin midpoints, so the validity sets are identical."""
+    cfg = OccConfig(resolution=16, levels=1, cone_angle=0.0, near_plane=0.0)
+    state = og.init_occ_state(AABB, cfg)
+    dense = lambda x: jnp.full(x.shape[:-1], 100.0)
+    state = og.update_occ_grid(
+        state, jax.random.PRNGKey(0), dense, cfg, cfg.step_size_for(AABB)
+    )
+    rays = jnp.stack(
+        [
+            jnp.array([-1, 0, 0, 1, 0, 0, 0.0, 2.0], jnp.float32),
+            jnp.array([0, -1, 0, 0, 1, 0, 0.0, 2.0], jnp.float32),
+            jnp.array([0, 0, -1, 0, 0, 1, 0.0, 2.0], jnp.float32),
+        ]
+    )
+    for b in (4, 16, 64):
+        est = og.march_rays(
+            state, rays, cfg, s_max=64, s_kept=16, key=None, report_budget=b
+        )["overflow"]
+        real = og.march_rays_budget(state, rays, cfg, s_max=64,
+                                    budget_per_ray=b, key=None)["overflow"]
+        np.testing.assert_allclose(float(est), float(real), atol=1e-7)
+    # dense grid, 64 valid bins/ray, budget 4 ⇒ heavy overflow must register
+    est4 = og.march_rays(
+        state, rays, cfg, s_max=64, s_kept=16, key=None, report_budget=4
+    )["overflow"]
+    assert float(est4) > 0.9
+    # without report_budget the strided dict must NOT carry an overflow key
+    # (the trainer would misread a would-be metric as actual drops)
+    assert "overflow" not in og.march_rays(
+        state, rays, cfg, s_max=64, s_kept=16, key=None
+    )
+
+
+def test_auto_regime_controller():
+    from acn_tpu.pipelines.offline_stage.trainer import AutoRegime
+
+    c = AutoRegime(thresh=0.02, patience=3)
+    # above threshold: never arms
+    assert not any(c.observe(0.5) for _ in range(5))
+    # streak must be CONSECUTIVE: a spike resets it
+    assert not c.observe(0.01)
+    assert not c.observe(0.0)
+    assert not c.observe(0.3)   # reset
+    assert not c.observe(0.01)
+    assert not c.observe(0.01)
+    assert c.observe(0.0)        # third consecutive → fires exactly once
+    assert c.switched
+    assert not c.observe(0.0)    # never fires again
