@@ -160,7 +160,10 @@ class HashGridConfig:
     features_per_level: int = 2
     hash_init_scale: float = 1e-3
     interpolation: str = "Linear"  # "Linear" | "Nearest" | "Smoothstep"
-    backend: str = "auto"  # "auto" | "jnp" | "pallas"
+    # "auto"/"jnp": the XLA gather/scatter path — measured AT the HBM
+    # transaction roofline for this access pattern; Mosaic has no vectorized
+    # table-gather primitive to beat it with (ops/hashgrid.py)
+    backend: str = "auto"  # "auto" | "jnp"
     layout: str = "corner"  # "corner" | "cell"
     # Cell-layout backward strategy. "remat" recomputes the forward (indices
     # AND the row gather) in the backward pass — minimal residual memory.

@@ -115,6 +115,17 @@ def main():
     results["stream_rw_GBps"] = round(2 * x.size * 4 / dt / 1e9, 1)
     results["stream_equiv_Mrows_per_s"] = round(N / dt / 1e6, 1)
 
+    # compare against the recorded design-basis bands (ops/hashgrid.py) so
+    # a platform/runtime change that shifts the roofline is visible
+    from acn_tpu.ops.hashgrid import MEASURED_V5E
+
+    lo, hi = MEASURED_V5E["gather_rows_per_s"]
+    g = results.get("gather_131k_rows_8MB_Mrows_per_s", 0.0) * 1e6
+    results["gather_vs_design_basis"] = (
+        "in-band" if lo * 0.8 <= g <= hi * 1.25 else
+        f"OUT OF BAND (basis {lo / 1e6:.0f}-{hi / 1e6:.0f} M rows/s)"
+    )
+
     print(json.dumps(results, indent=1))
 
 

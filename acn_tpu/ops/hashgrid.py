@@ -64,12 +64,14 @@ behind ``ACN_TPU_SEGSCAN=pallas`` (``scripts/bench_segscan.py`` measures it).
 
 from __future__ import annotations
 
-
-def hash_encode_pallas(table, x01, cfg):
-    """Reserved for a future Mosaic kernel; see module docstring for why the
-    current stack cannot express it. Falls back to the jnp path."""
-    from acn_tpu.models.encodings import hash_encode_cell, hash_encode_jnp
-
-    if cfg.layout == "cell":
-        return hash_encode_cell(table, x01, cfg)
-    return hash_encode_jnp(table, x01, cfg)
+# Measured v5e single-chip characteristics behind the design above
+# (remote-tunnel, XLA 0.9; re-measure with ops/bench_gather_scatter.py).
+# Units: rows/s bands are (low, high); bandwidths in GB/s; FLOPs in TFLOPS.
+MEASURED_V5E = {
+    "matmul_bf16_tflops": 123.0,
+    "elementwise_hbm_gbps": 250.0,
+    "gather_rows_per_s": (220e6, 360e6),  # row-count-bound, width-independent
+    "scatter_add_rows_per_s_small_table": (59e6, 126e6),  # ≤8 MB, VMEM accum
+    "scatter_add_rows_per_s_large_table": (10e6, 25e6),  # 67 MB, HBM accum
+    "hbm_transaction_bytes": 512,  # why gathers are row-count-bound
+}

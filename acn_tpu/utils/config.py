@@ -174,7 +174,10 @@ def build_parser() -> argparse.ArgumentParser:
         choices=["frequency", "spherical"],
     )
     parser.add_argument(
-        "--hash_backend", type=str, default="auto", choices=["auto", "jnp", "pallas"]
+        "--hash_backend", type=str, default="auto", choices=["auto", "jnp"],
+        help="hash-encode path; the XLA gather emitter measures AT the HBM "
+             "transaction roofline for this access pattern, so there is no "
+             "Mosaic variant to select (ops/hashgrid.py)"
     )
     parser.add_argument(
         "--hash_dense_levels", type=int, nargs="?", const=1, default=1,
