@@ -74,6 +74,14 @@ def main(argv=None):
                          "(N*s_max occupancy gathers) rival the trilinear "
                          "lookups at tight budgets, so this is the other "
                          "half of the baked FPS equation")
+    ap.add_argument("--segscan_ab", action="store_true",
+                    help="A/B the packed-compositing scan backends end-to-end "
+                         "through the full serving renderer: render one "
+                         "budget-path frame with the XLA associative_scan "
+                         "and again with the Pallas kernel (ops/segscan.py; "
+                         "interpret mode off-TPU), compare pixels, time "
+                         "both. The pre-flip validation for making the "
+                         "kernel the production default.")
     ap.add_argument("--mesh", type=int, default=-1, metavar="N",
                     help="shard frame row-blocks over a mesh of N devices "
                          "(0 = all available; 1 = a 1-device mesh, which "
@@ -222,6 +230,50 @@ def main(argv=None):
         out[f"{regime}_ms_per_frame"] = round(dt * 1e3, 1)
         out[f"{regime}_ms_e2e"] = round(dt_e2e * 1e3, 1)
         print(json.dumps({regime: out[f"{regime}_fps"]}))  # progress line
+
+    if args.segscan_ab:
+        # End-to-end backend A/B on the budget serving path (the one regime
+        # whose compositing runs through composite_packed → seg_excl_sum).
+        # The backend choice is baked into jit caches at trace time
+        # (ops/segscan.py docstring), so each leg gets a fresh Renderer AND
+        # cleared jit caches. Off-TPU the Mosaic kernel runs in interpret
+        # mode — same code path, CPU-checkable.
+        on_tpu = jax.devices()[0].platform == "tpu"
+        ab_h, ab_w = pH, pW  # validation, not a benchmark: half-res is ample
+        frames_ab, times_ab = {}, {}
+        prev = os.environ.get("ACN_TPU_SEGSCAN")
+        try:
+            for backend in ("xla", "pallas" if on_tpu else "interpret"):
+                os.environ["ACN_TPU_SEGSCAN"] = backend
+                jax.clear_caches()
+                r_ab = make_renderer(8, 64)
+                kw_ab = dict(H=ab_h, W=ab_w, intrinsics=intr * (ab_h / H),
+                             c2w=c2w, aabb=np.asarray(aabb), use_occ=True)
+                rgb_ab, _, _ = r_ab.render_image_routed(variables, occ_states,
+                                                        **kw_ab)  # warm
+                t0 = time.perf_counter()
+                for _ in range(max(args.frames, 1)):
+                    r_ab.render_image_routed(variables, occ_states,
+                                             download=False, **kw_ab)
+                times_ab[backend] = (time.perf_counter() - t0) / max(
+                    args.frames, 1)
+                frames_ab[backend] = np.asarray(rgb_ab, np.float32)
+        finally:
+            if prev is None:
+                os.environ.pop("ACN_TPU_SEGSCAN", None)
+            else:
+                os.environ["ACN_TPU_SEGSCAN"] = prev
+            jax.clear_caches()
+        bp = next(k for k in frames_ab if k != "xla")
+        max_diff = float(np.max(np.abs(frames_ab["xla"] - frames_ab[bp])))
+        out["segscan_ab_max_px_diff"] = max_diff
+        out["segscan_ab_xla_ms"] = round(times_ab["xla"] * 1e3, 1)
+        out[f"segscan_ab_{bp}_ms"] = round(times_ab[bp] * 1e3, 1)
+        out["segscan_ab_ok"] = bool(max_diff < 2e-2)  # u8-quantization scale
+        print(json.dumps({"segscan_ab": {
+            "max_px_diff": max_diff, "xla_ms": out["segscan_ab_xla_ms"],
+            f"{bp}_ms": out[f"segscan_ab_{bp}_ms"],
+            "ok": out["segscan_ab_ok"]}}))
 
     if args.baked > 0:
         from acn_tpu.pipelines.baking import BakedRenderer, bake_container
