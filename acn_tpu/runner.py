@@ -316,10 +316,12 @@ def build_context(P, op: str) -> Dict[str, Any]:
         if not getattr(P, "checkpoint_path", None):
             raise ValueError("--checkpoint_path is required when --op view")
 
-    elif op == "bake":
-        # model/occ context only — no dataset load
+    elif op in ("bake", "bench"):
+        # model/occ context only — no dataset load ("bench" is the
+        # context-only mode scripts/bench_render.py uses to restore a
+        # trained field exactly as eval does, without metadata IO)
         if not getattr(P, "checkpoint_path", None):
-            raise ValueError("--checkpoint_path is required when --op bake")
+            raise ValueError(f"--checkpoint_path is required when --op {op}")
 
     else:
         raise ValueError(f"Unsupported op {op!r}")
