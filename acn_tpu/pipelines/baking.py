@@ -113,8 +113,17 @@ def bake_field(
     dtype=jnp.float32,
     sh_degree: int = 0,
     supersample: int = 1,
+    params=None,
 ) -> Dict[str, Any]:
     """Evaluate ``field_fn`` over the R³ lattice → baked serving asset.
+
+    ``params``: optional pytree of field parameters, passed through jit as
+    an ARGUMENT — ``field_fn(params, xd)`` is called instead of
+    ``field_fn(xd)``. Real fields (the restored flagship container is
+    ~0.5 GB of hash tables) MUST use this: a field_fn closure over device
+    arrays bakes them into the lowered program as constants, and the axon
+    remote-compile RPC rejects the resulting request (HTTP 413 — observed
+    on the first real-checkpoint bake, round 5).
 
     Returns {"table": (R³, F), "aabb": (2, 3), "resolution": R, "sh_degree",
     "occ_state": occupancy-state pytree for march_rays_budget}; F = 4
@@ -154,7 +163,7 @@ def bake_field(
         proj = np.linalg.pinv(B).astype(np.float32)  # (4, D)
 
     @jax.jit
-    def eval_chunk(x):  # (C, 3) → (C, F)
+    def eval_chunk(p, x):  # (C, 3) → (C, F)
         C = x.shape[0]
         if ss > 1:  # voxel-neighborhood sub-lattice, averaged below
             x = (x[:, None, :] + jnp.asarray(sub_w)[None, :, :]).reshape(-1, 3)
@@ -162,7 +171,7 @@ def bake_field(
         def one_dir(d):
             xd = jnp.concatenate(
                 [x, jnp.broadcast_to(d[None, :], x.shape)], axis=-1)
-            sigma, rgb = field_fn(xd)
+            sigma, rgb = field_fn(p, xd) if params is not None else field_fn(xd)
             if ss > 1:
                 sigma = jnp.mean(sigma.reshape(C, ss**3), axis=1)
                 rgb = jnp.mean(rgb.reshape(C, ss**3, 3), axis=1)
@@ -184,7 +193,7 @@ def bake_field(
         if e - s < chunk:  # pad to the fixed jit shape
             x = np.concatenate(
                 [x, np.zeros((chunk - (e - s), 3), np.float32)])
-        table[s:e] = np.asarray(eval_chunk(jnp.asarray(x)))[: e - s]
+        table[s:e] = np.asarray(eval_chunk(params, jnp.asarray(x)))[: e - s]
 
     return pack_baked(table, aabb_np, R, occ_resolution=occ_resolution,
                       occ_thre=occ_thre, dtype=dtype, sh_degree=sh_degree)
@@ -242,14 +251,16 @@ def bake_container(variables, cfg, *, resolution: int, aabb=None,
     if aabb is None:
         aabb = np.asarray(variables["buffers"]["global_aabb"])
 
-    def field_fn(xd):
-        sigma, rgb = _soft_moe_eval(variables, cfg, xd)
+    def field_fn(v, xd):
+        # v flows through jit as an argument — never close over the
+        # container (≈0.5 GB of tables ⇒ remote-compile HTTP 413)
+        sigma, rgb = _soft_moe_eval(v, cfg, xd)
         return sigma, rgb
 
     return bake_field(field_fn, aabb, resolution, bake_dirs=bake_dirs,
                       chunk=chunk, occ_resolution=occ_resolution,
                       occ_thre=occ_thre, dtype=dtype, sh_degree=sh_degree,
-                      supersample=supersample)
+                      supersample=supersample, params=variables)
 
 
 def save_baked(path, baked: Dict[str, Any]) -> None:
