@@ -7,7 +7,7 @@ pure-torch fallback; here SH and frequency are plain ``jnp`` polynomials (XLA
 fuses them into the surrounding MLP) and the hash grid has a pure-``jnp``
 implementation (the correctness oracle, math identical to the reference torch
 fallback at encodings.py:308-381) plus a Pallas TPU kernel in
-``acn_tpu.ops.hashgrid`` for the hot path.
+``docs/hashgrid_kernel_memo.md`` for the hot path.
 
 Everything here is functional: encoders are (config, params, x) → features.
 """
@@ -162,7 +162,7 @@ class HashGridConfig:
     interpolation: str = "Linear"  # "Linear" | "Nearest" | "Smoothstep"
     # "auto"/"jnp": the XLA gather/scatter path — measured AT the HBM
     # transaction roofline for this access pattern; Mosaic has no vectorized
-    # table-gather primitive to beat it with (ops/hashgrid.py)
+    # table-gather primitive to beat it with (docs/hashgrid_kernel_memo.md)
     backend: str = "auto"  # "auto" | "jnp"
     layout: str = "corner"  # "corner" | "cell"
     # Cell-layout backward strategy. "remat" recomputes the forward (indices

@@ -3,8 +3,9 @@
 The round-1 VERDICT requires either a Pallas hash-grid kernel or a
 microbenchmark proving XLA's gather/scatter emitters are within ~1.2× of
 what the hardware + available primitives can achieve. Mosaic cannot express
-a large-table random row gather on this stack (see ops/hashgrid.py), so the
-*achievable* alternatives to XLA's native emitters are:
+a large-table random row gather on this stack (see
+docs/hashgrid_kernel_memo.md), so the *achievable* alternatives to XLA's
+native emitters are:
 
 * streaming copy           — the absolute HBM bandwidth ceiling (not
                              achievable for random access, context only);
@@ -22,6 +23,19 @@ from __future__ import annotations
 import json
 import os
 import time
+
+# Measured v5e single-chip characteristics — the design basis behind the
+# cell-packed hash layout (docs/hashgrid_kernel_memo.md). Remote-tunnel,
+# XLA 0.9; re-measure by running this module on the chip.
+# Units: rows/s bands are (low, high); bandwidths in GB/s; FLOPs in TFLOPS.
+MEASURED_V5E = {
+    "matmul_bf16_tflops": 123.0,
+    "elementwise_hbm_gbps": 250.0,
+    "gather_rows_per_s": (220e6, 360e6),  # row-count-bound, width-independent
+    "scatter_add_rows_per_s_small_table": (59e6, 126e6),  # ≤8 MB, VMEM accum
+    "scatter_add_rows_per_s_large_table": (10e6, 25e6),  # 67 MB, HBM accum
+    "hbm_transaction_bytes": 512,  # why gathers are row-count-bound
+}
 
 
 def _timed(fn, *args, iters=10):
@@ -115,10 +129,8 @@ def main():
     results["stream_rw_GBps"] = round(2 * x.size * 4 / dt / 1e9, 1)
     results["stream_equiv_Mrows_per_s"] = round(N / dt / 1e6, 1)
 
-    # compare against the recorded design-basis bands (ops/hashgrid.py) so
+    # compare against the recorded design-basis bands (MEASURED_V5E above) so
     # a platform/runtime change that shifts the roofline is visible
-    from acn_tpu.ops.hashgrid import MEASURED_V5E
-
     lo, hi = MEASURED_V5E["gather_rows_per_s"]
     g = results.get("gather_131k_rows_8MB_Mrows_per_s", 0.0) * 1e6
     results["gather_vs_design_basis"] = (

@@ -23,7 +23,7 @@ TPU-shaped choices:
   (diffuse mean over ``bake_dirs`` directions, 4 channels) or
   ``sh_degree=1`` (SNeRG/PlenOctree-style, 13 channels: 4 SH coefficients
   × rgb + σ). On this TPU the choice is almost free at serving time —
-  gathers are ROW-COUNT-bound and width-independent (ops/hashgrid.py
+  gathers are ROW-COUNT-bound and width-independent (docs/hashgrid_kernel_memo.md
   measurements), so SH-1 widens the gathered rows without adding gathers;
   the cost is table memory (512³: 2.1 → 7.0 GB f32) and a per-sample
   4-term dot at decode. City-scale aerial content is mostly matte, so the
@@ -331,7 +331,7 @@ def trilinear_lookup(table: Array, aabb: Array, R: int, x: Array) -> Array:
 def pack_zpairs(table: Array, R: int) -> Array:
     """(R³, F) → (R³, 2F) where row i carries [v(i), v(i + ẑ)] — both
     z-corners of any cell land in ONE gathered row. Hash/table gathers on
-    this TPU are ROW-COUNT-bound and width-independent (ops/hashgrid.py
+    this TPU are ROW-COUNT-bound and width-independent (docs/hashgrid_kernel_memo.md
     measurements), so doubling row width to halve row count (8 → 4
     gathers/sample) is a straight ~2× on the serving hot loop, at 2×
     table memory (512³ f32: 2.1 → 4.3 GB, still comfortably in HBM)."""

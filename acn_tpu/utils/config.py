@@ -177,7 +177,7 @@ def build_parser() -> argparse.ArgumentParser:
         "--hash_backend", type=str, default="auto", choices=["auto", "jnp"],
         help="hash-encode path; the XLA gather emitter measures AT the HBM "
              "transaction roofline for this access pattern, so there is no "
-             "Mosaic variant to select (ops/hashgrid.py)"
+             "Mosaic variant to select (docs/hashgrid_kernel_memo.md)"
     )
     parser.add_argument(
         "--hash_dense_levels", type=int, nargs="?", const=1, default=1,

@@ -182,6 +182,22 @@ def main():
     except Exception:
         dt_budget, budget_rps = float("inf"), 0.0
 
+    # ---- auto-regime pre-switch path (what a REAL run sustains for most of
+    # training): strided marching + the would-overflow measurement that the
+    # AutoRegime controller reads each step (trainer.py). Real grids are
+    # denser than this synthetic 10% for the first ~3/4 of a run, so even
+    # this is an upper bound on sustained training throughput — the r5
+    # flagship sustained 51.6k rays/s here vs the budget path's 110.5k.
+    try:
+        step_auto = jax.jit(
+            make_meta_train_step(cfg, P, opt, occ_cfg, report_budget=32),
+            donate_argnums=(0,),
+        )
+        dt_auto = _bench_step(step_auto, fresh_state(), batch, occ_states, iters)
+        auto_rps = rays_per_step / dt_auto
+    except Exception:
+        dt_auto, auto_rps = float("inf"), 0.0
+
     best_rps = max(occ_rps, budget_rps)
     print(
         json.dumps(
@@ -193,8 +209,10 @@ def main():
                 "stratified_rays_per_sec": round(strat_rps, 1),
                 "occ_per_ray_rays_per_sec": round(occ_rps, 1),
                 "occ_budget_rays_per_sec": round(budget_rps, 1),
+                "occ_auto_premeasure_rays_per_sec": round(auto_rps, 1),
                 "occ_step_s": round(dt_occ, 3),
                 "occ_budget_step_s": round(dt_budget, 3),
+                "occ_auto_premeasure_step_s": round(dt_auto, 3),
                 "stratified_step_s": round(dt_strat, 3),
             }
         )
