@@ -22,9 +22,18 @@ TPU-native redesign: the routing hot loop (reference compute_voronoi_opt,
 create_clusters.py:386-556 — GEMM d² with Python-loop AABB streaming) is one
 jitted XLA program per ray-chunk: d² via matmul on the MXU, the mask
 reduction and the per-expert AABB min/max as dense masked reductions (no
-per-expert Python loops), accumulated in a scan carry. No NCCL — a single
-host drives the one-chip routing kernel; the whole example dataset routes in
-minutes.
+per-expert Python loops), accumulated in a scan carry.
+
+Host-sharded operation (reference create_clusters.py:224-238, 897-932 uses
+torchrun + NCCL all_reduce): NCCL-free. Launch N processes with
+``RANK``/``WORLD_SIZE`` env vars (or ``--rank/--world_size``); images are
+rank-strided (image i goes to rank i % world), per-image zip masks are
+written independently (byte-identical to a single-process run — the zip
+timestamp is pinned), and per-rank partial stats/AABBs land in
+``<out>/_partials/rank{r}of{W}.npz``. Rank 0 polls for all partials, reduces
+them (MIN/MAX for AABBs, SUM for counts — the reference's all_reduce ops)
+and writes ``scene_boxes.pt`` + ``scene_boxes.txt``. No collective backend,
+no GPU/TPU requirement on worker hosts.
 """
 
 from __future__ import annotations
@@ -194,14 +203,20 @@ def make_voronoi_kernel(
 
 def save_zip_mask(path: Path, mask_hw: np.ndarray) -> None:
     """Zipped torch-saved boolean mask — the reference's on-disk format
-    (create_clusters.py:884-893), readable by ImageMetadata.load_mask."""
+    (create_clusters.py:884-893), readable by ImageMetadata.load_mask.
+
+    The zip member timestamp is pinned so output bytes depend only on the
+    mask content — a host-sharded run is byte-identical to a single-process
+    run, and reruns are idempotent at the byte level."""
     import torch
 
     path.parent.mkdir(parents=True, exist_ok=True)
     buf = io.BytesIO()
     torch.save(torch.from_numpy(np.ascontiguousarray(mask_hw)), buf)
+    info = zipfile.ZipInfo(path.stem + ".inner.pt", date_time=(1980, 1, 1, 0, 0, 0))
+    info.compress_type = zipfile.ZIP_DEFLATED
     with zipfile.ZipFile(path, "w", compression=zipfile.ZIP_DEFLATED) as zf:
-        zf.writestr(path.stem + ".inner.pt", buf.getvalue())
+        zf.writestr(info, buf.getvalue())
 
 
 def load_zip_mask_ok(path: Path) -> bool:
@@ -244,6 +259,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--kmeans_weight_by_pixels", action="store_true")
     p.add_argument("--ray_chunk_size", type=int, default=8192)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--rank", type=int, default=None,
+                   help="host-shard rank (default: $RANK or 0)")
+    p.add_argument("--world_size", type=int, default=None,
+                   help="host-shard world size (default: $WORLD_SIZE or 1)")
+    p.add_argument("--merge_timeout", type=float, default=86400.0,
+                   help="rank 0: seconds to wait for worker partials "
+                        "(reference uses a 24h NCCL timeout)")
     return p
 
 
@@ -265,9 +287,24 @@ def main(h: Optional[argparse.Namespace] = None) -> None:
 
     if h is None:
         h = build_parser().parse_args()
+    import os
+
+    rank = int(h.rank if h.rank is not None else os.environ.get("RANK", 0))
+    world = int(
+        h.world_size
+        if h.world_size is not None
+        else os.environ.get("WORLD_SIZE", 1)
+    )
+    assert 0 <= rank < world, f"rank {rank} outside world {world}"
     ds = Path(h.data_path)
     out = ds / "masks" / h.output
     out.mkdir(parents=True, exist_ok=True)
+    partials_dir = out / "_partials"
+    my_partial = partials_dir / f"rank{rank}of{world}.npz"
+    t_start = __import__("time").time()
+    if world > 1:
+        partials_dir.mkdir(exist_ok=True)
+        my_partial.unlink(missing_ok=True)  # never merge a stale self
 
     coord = torch.load(ds / "coordinates.pt", map_location="cpu", weights_only=False)
     pose_scale = float(coord.get("pose_scale_factor", 1.0))
@@ -333,24 +370,28 @@ def main(h: Optional[argparse.Namespace] = None) -> None:
                 cams, K, h.kmeans_iters, h.kmeans_seed, wts, h.kmeans_init
             )
 
-    torch.save(
-        {
-            "format_version": 3,
-            "centroid_mode": h.centroid_mode,
-            "centroids": torch.from_numpy(cents),
-            "grid_dim": (gx, gy, gz),
-            "cluster_2d": bool(h.cluster_2d),
-            "boundary_margin": float(h.boundary_margin),
-            "ray_samples": int(h.ray_samples),
-            "aabb_global": torch.from_numpy(aabb_global),
-            "scene_scale": float(h.scene_scale),
-            "near_far_override_m": (
-                float(h.near) if h.near is not None else None,
-                float(h.far) if h.far is not None else None,
-            ),
-        },
-        out / "params.pt",
-    )
+    # centroids are a deterministic function of ALL metadata (every rank
+    # loads the full list), so any rank computes identical values; only
+    # rank 0 writes to avoid concurrent-write races.
+    if rank == 0:
+        torch.save(
+            {
+                "format_version": 3,
+                "centroid_mode": h.centroid_mode,
+                "centroids": torch.from_numpy(cents),
+                "grid_dim": (gx, gy, gz),
+                "cluster_2d": bool(h.cluster_2d),
+                "boundary_margin": float(h.boundary_margin),
+                "ray_samples": int(h.ray_samples),
+                "aabb_global": torch.from_numpy(aabb_global),
+                "scene_scale": float(h.scene_scale),
+                "near_far_override_m": (
+                    float(h.near) if h.near is not None else None,
+                    float(h.far) if h.far is not None else None,
+                ),
+            },
+            out / "params.pt",
+        )
 
     near_far_override = (
         (float(h.near) / pose_scale) if h.near is not None else None,
@@ -365,11 +406,14 @@ def main(h: Optional[argparse.Namespace] = None) -> None:
     maxs = np.full((K, 3), -np.inf, np.float32)
     cnts = np.zeros(K, np.int64)
 
+    split_stats = {}
     for split, meta in (("train", train_meta), ("val", val_meta)):
         pix_per_cell = np.zeros(K, np.int64)
         imgs_with_pix = np.zeros(K, np.int64)
         total_pix = 0
         for i, mp in enumerate(meta):
+            if i % world != rank:  # rank-strided images (ref :224-238)
+                continue
             fname = mp.stem + ".pt"
             if h.resume and all(
                 load_zip_mask_ok(out / f"{c}" / fname) for c in range(K)
@@ -402,12 +446,67 @@ def main(h: Optional[argparse.Namespace] = None) -> None:
                 save_zip_mask(out / f"{cid}" / fname, m)
             total_pix += H * W
             if (i + 1) % 20 == 0:
-                print(f"[{split}] {i + 1}/{len(meta)} images routed")
+                print(f"[{split}] rank {rank}: {i + 1}/{len(meta)} images routed")
+        split_stats[split] = (pix_per_cell, imgs_with_pix, total_pix)
+
+    # ---- host-shard reduction (reference all_reduce SUM/MIN/MAX,
+    # create_clusters.py:897-932 — here: npz partials + a file barrier) ----
+    if world > 1:
+        np.savez(
+            my_partial,
+            mins=mins, maxs=maxs, cnts=cnts,
+            **{
+                f"{s}_{k}": v
+                for s, (ppc, iwp, tp) in split_stats.items()
+                for k, v in (("ppc", ppc), ("iwp", iwp), ("tp", np.int64(tp)))
+            },
+        )
+        if rank != 0:
+            print(f"rank {rank}/{world}: partial written to {my_partial}")
+            return
+        import time as _time
+
+        want = [partials_dir / f"rank{r}of{world}.npz" for r in range(world)]
+        deadline = _time.time() + float(h.merge_timeout)
+        while True:
+            # partials must postdate this run's start (300 s launcher slack)
+            # so a crashed previous run's leftovers are never merged
+            fresh = [
+                p for p in want
+                if p.exists() and p.stat().st_mtime >= t_start - 300.0
+            ]
+            if len(fresh) == world:
+                break
+            if _time.time() > deadline:
+                missing = [p.name for p in want if p not in fresh]
+                raise RuntimeError(
+                    f"merge timeout: missing/stale partials {missing}"
+                )
+            _time.sleep(2.0)
+        mins = np.full((K, 3), np.inf, np.float32)
+        maxs = np.full((K, 3), -np.inf, np.float32)
+        cnts = np.zeros(K, np.int64)
+        split_stats = {
+            s: [np.zeros(K, np.int64), np.zeros(K, np.int64), 0]
+            for s in split_stats
+        }
+        for p in want:
+            z = np.load(p)
+            mins = np.minimum(mins, z["mins"])
+            maxs = np.maximum(maxs, z["maxs"])
+            cnts += z["cnts"]
+            for s, acc in split_stats.items():
+                acc[0] += z[f"{s}_ppc"]
+                acc[1] += z[f"{s}_iwp"]
+                acc[2] += int(z[f"{s}_tp"])
+        print(f"rank 0: merged {world} partials")
+
+    for split, (pix_per_cell, imgs_with_pix, total_pix) in split_stats.items():
         if total_pix:
             pct = pix_per_cell / total_pix * 100.0
-            print(f"[{split}] pixels_per_centroid={pix_per_cell.tolist()}")
+            print(f"[{split}] pixels_per_centroid={np.asarray(pix_per_cell).tolist()}")
             print(f"[{split}] coverage_pct={np.round(pct, 3).tolist()}")
-            print(f"[{split}] images_with_pixels={imgs_with_pix.tolist()}")
+            print(f"[{split}] images_with_pixels={np.asarray(imgs_with_pix).tolist()}")
 
     # clamp to global, ε-boxes for empties, optional dilation, altitude global
     # (reference create_clusters.py:934-984)

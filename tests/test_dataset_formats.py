@@ -135,3 +135,53 @@ def test_our_create_clusters_roundtrips(tmp_path):
     )
     m = im.load_mask()
     assert m is not None and m.shape == (48, 64)
+
+
+def test_create_clusters_host_sharded_matches_single_process(tmp_path):
+    """A rank-strided 2-process run (reference create_clusters.py:224-238 uses
+    torchrun+NCCL; ours is env-var ranks + file-reduced partials) produces
+    byte-identical masks and identical scene boxes to a single-process run."""
+    import shutil
+
+    import torch
+
+    ds = tmp_path / "mini"
+    for split in ("train", "val"):
+        (ds / split / "metadata").mkdir(parents=True)
+        (ds / split / "rgbs").mkdir(parents=True)
+    srcs = sorted((EXAMPLE / "train" / "metadata").glob("*.pt"))[:4]
+    for i, src in enumerate(srcs):
+        md = torch.load(src, map_location="cpu", weights_only=False)
+        md["H"], md["W"] = 48, 64
+        md["intrinsics"] = md["intrinsics"] * (64 / 2048)
+        torch.save(md, ds / "train" / "metadata" / f"{i:06d}.pt")
+    shutil.copy(EXAMPLE / "coordinates.pt", ds / "coordinates.pt")
+
+    from acn_tpu.scripts.create_clusters import build_parser, main
+
+    base = [
+        "--data_path", str(ds),
+        "--centroid_mode", "grid", "--grid_dim", "2", "2",
+        "--cluster_2d", "--boundary_margin", "1.1",
+        "--ray_samples", "32", "--center_pixels",
+        "--scene_scale", "1.1", "--ray_chunk_size", "4096",
+    ]
+    main(build_parser().parse_args(base + ["--output", "sp"]))
+    # workers first, rank 0 last: its merge finds all partials immediately
+    main(build_parser().parse_args(
+        base + ["--output", "mp", "--rank", "1", "--world_size", "2"]))
+    main(build_parser().parse_args(
+        base + ["--output", "mp", "--rank", "0", "--world_size", "2",
+                "--merge_timeout", "60"]))
+
+    sp, mp = ds / "masks" / "sp", ds / "masks" / "mp"
+    mask_files = sorted(p.relative_to(sp) for p in sp.rglob("*.pt")
+                        if p.parent.name.isdigit())
+    assert len(mask_files) == 4 * 4  # 4 images × 4 cells
+    for rel in mask_files:
+        assert (sp / rel).read_bytes() == (mp / rel).read_bytes(), rel
+
+    bs = torch.load(sp / "scene_boxes.pt", map_location="cpu", weights_only=False)
+    bm = torch.load(mp / "scene_boxes.pt", map_location="cpu", weights_only=False)
+    for k in ("mins", "maxs", "counts", "centroids", "aabb_global"):
+        torch.testing.assert_close(bs[k], bm[k], rtol=0, atol=0)
