@@ -54,6 +54,44 @@ class ViewerState:
         self.far_override_m: Optional[float] = None
         self.depth_colormap = "turbo"
         self.use_baked = False  # serve the --baked_asset table when present
+        # crop box (reference OrientedBox, scene_box.py:220-264): viewer-world
+        # meters; rendering clamps rays to the world-aligned bound of the
+        # rotated box (obb_to_aabb) intersected with the global scene box
+        self.crop_enabled = False
+        self.crop_pos_m = (0.0, 0.0, 0.0)
+        self.crop_rpy_deg = (0.0, 0.0, 0.0)
+        self.crop_size_m = (100.0, 100.0, 100.0)
+
+
+def crop_render_aabb(
+    global_aabb: np.ndarray,
+    origin: np.ndarray,
+    psf: float,
+    crop_pos_m,
+    crop_rpy_deg,
+    crop_size_m,
+) -> np.ndarray:
+    """Render AABB under an OBB crop (reference OrientedBox,
+    scene_box.py:220-264), as the world-aligned bound of the rotated box
+    (obb_to_aabb) intersected with the global scene box. Crop parameters are
+    viewer-world (RUB) meters; output is normalized DRB. Exact when the
+    rotation is zero."""
+    from acn_tpu.nerfs.scene_box import obb_from_params, obb_to_aabb
+
+    R_obb, T_obb, S_obb = obb_from_params(
+        (RUB_TO_DRB @ np.asarray(crop_pos_m, np.float32) - origin) / psf,
+        tuple(np.deg2rad(v) for v in crop_rpy_deg),
+        np.asarray(crop_size_m, np.float32) / psf,
+    )
+    crop_aabb = np.asarray(
+        obb_to_aabb((RUB_TO_DRB @ np.asarray(R_obb), T_obb, S_obb))
+    )
+    return np.stack(
+        [
+            np.maximum(global_aabb[0], crop_aabb[0]),
+            np.minimum(global_aabb[1], crop_aabb[1]),
+        ]
+    )
 
 
 def render_frame(
@@ -100,6 +138,12 @@ def render_frame(
             near_far_override=near_far,
         )
     else:
+        render_aabb = np.asarray(ctx["global_aabb"])
+        if state.crop_enabled:
+            render_aabb = crop_render_aabb(
+                render_aabb, origin, psf,
+                state.crop_pos_m, state.crop_rpy_deg, state.crop_size_m,
+            )
         rgb, depth, acc = renderer.render_image(
             variables,
             occ_states,
@@ -107,7 +151,7 @@ def render_frame(
             W=W,
             intrinsics=np.array([fx, fy, cx, cy], np.float32),
             c2w=c2w,
-            aabb=np.asarray(ctx["global_aabb"]),
+            aabb=render_aabb,
             active_module=state.active_module,
             use_occ=state.use_occ and occ_states is not None,
             near_far_override=near_far,
@@ -254,6 +298,19 @@ def launch_viewer(ctx: Dict[str, Any]):
         gui_near = server.gui.add_slider("Near (m)", 0.0, 500.0, 1.0, 0.0)
         gui_far = server.gui.add_slider("Far (m)", 0.0, 5000.0, 10.0, 0.0)
 
+    # ---- Crop box (reference OrientedBox, scene_box.py:220-264) ----
+    with server.gui.add_folder("Crop"):
+        gui_crop_on = server.gui.add_checkbox("Enable crop", False)
+        gui_crop_pos = server.gui.add_vector3(
+            "Center (m)", (0.0, 0.0, 0.0), step=1.0
+        )
+        gui_crop_rpy = server.gui.add_vector3(
+            "Roll/Pitch/Yaw (deg)", (0.0, 0.0, 0.0), step=1.0
+        )
+        gui_crop_size = server.gui.add_vector3(
+            "Size (m)", (100.0, 100.0, 100.0), step=1.0
+        )
+
     # ---- Camera (reference viewer.py:229-322) ----
     snap_views = _load_snap_views(ctx)
     last_cam = {"c2w": None, "client": None}
@@ -320,10 +377,15 @@ def launch_viewer(ctx: Dict[str, Any]):
         state.far_override_m = float(gui_far.value) or None
         if gui_baked is not None:
             state.use_baked = bool(gui_baked.value)
+        state.crop_enabled = bool(gui_crop_on.value)
+        state.crop_pos_m = tuple(map(float, gui_crop_pos.value))
+        state.crop_rpy_deg = tuple(map(float, gui_crop_rpy.value))
+        state.crop_size_m = tuple(map(float, gui_crop_size.value))
 
     for h in (gui_display, gui_bg, gui_module, gui_occ, gui_exposure,
               gui_gamma, gui_depth_cmap, gui_full_samples,
               gui_preview_samples, gui_near, gui_far,
+              gui_crop_on, gui_crop_pos, gui_crop_rpy, gui_crop_size,
               *([gui_baked] if gui_baked is not None else [])):
         h.on_update(sync_state)
 

@@ -205,3 +205,38 @@ def test_default_experiment_fname_hierarchical():
         "instant_dir-spherical_depth-2_hid-64_ch-64/bg_32/"
         "initer-08_samples-96/lr-015-0100_seed-0"
     )
+
+
+def test_crop_render_aabb():
+    """Viewer OBB crop (reference OrientedBox, scene_box.py:220-264):
+    axis-aligned crops are exact after the RUB→DRB basis change; rotation
+    bounds via obb_to_aabb; the result clamps to the global box."""
+    from acn_tpu.viewer.utils import RUB_TO_DRB
+    from acn_tpu.viewer.viewer import crop_render_aabb
+
+    g = np.array([[-1, -1, -1], [1, 1, 1]], np.float32)
+    origin = np.zeros(3, np.float32)
+
+    # axis-aligned unit-ish box at the origin, no normalization
+    out = crop_render_aabb(g, origin, 1.0, (0, 0, 0), (0, 0, 0), (1, 1, 1))
+    np.testing.assert_allclose(out[0], [-0.5, -0.5, -0.5], atol=1e-6)
+    np.testing.assert_allclose(out[1], [0.5, 0.5, 0.5], atol=1e-6)
+
+    # offset center passes through the RUB→DRB basis change
+    pos = (0.2, 0.0, 0.0)
+    out = crop_render_aabb(g, origin, 1.0, pos, (0, 0, 0), (1, 1, 1))
+    c_drb = RUB_TO_DRB @ np.asarray(pos, np.float32)
+    np.testing.assert_allclose(0.5 * (out[0] + out[1]), c_drb, atol=1e-6)
+
+    # pose-scale normalization divides positions and sizes
+    out = crop_render_aabb(g, origin, 10.0, (0, 0, 0), (0, 0, 0), (10, 10, 10))
+    np.testing.assert_allclose(out[1] - out[0], [1, 1, 1], atol=1e-6)
+
+    # a 45° yaw grows the world-aligned bound of the square cross-section
+    out_rot = crop_render_aabb(g, origin, 1.0, (0, 0, 0), (0, 0, 45), (1, 1, 1))
+    ext = out_rot[1] - out_rot[0]
+    assert ext.max() > 1.2  # sqrt(2) in the rotated plane
+
+    # never exceeds the global box
+    out = crop_render_aabb(g, origin, 1.0, (0, 0, 0), (0, 0, 0), (100, 100, 100))
+    np.testing.assert_allclose(out, g, atol=1e-6)
