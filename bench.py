@@ -144,10 +144,24 @@ def main():
     }
     rays_per_step = K * T * (INNER * S + Q)  # ray-renders per meta-step
 
+    # ACN_BENCH_REGIMES="budget" (comma list of stratified,occ,budget,auto)
+    # restricts which regimes run — e.g. the segscan backend A/B only needs
+    # the budget regime (the one whose compositing is a packed segment scan)
+    regimes = set(
+        (os.environ.get("ACN_BENCH_REGIMES") or "stratified,occ,budget,auto")
+        .split(",")
+    )
+
     # ---- stratified regime (warmup phase of a real run) ----
-    step_strat = jax.jit(make_meta_train_step(cfg, P, opt), donate_argnums=(0,))
-    dt_strat = _bench_step(step_strat, fresh_state(), batch, dummy_occ_states(K), iters)
-    strat_rps = rays_per_step / dt_strat
+    dt_strat, strat_rps = float("inf"), 0.0
+    if "stratified" in regimes:
+        step_strat = jax.jit(
+            make_meta_train_step(cfg, P, opt), donate_argnums=(0,)
+        )
+        dt_strat = _bench_step(
+            step_strat, fresh_state(), batch, dummy_occ_states(K), iters
+        )
+        strat_rps = rays_per_step / dt_strat
 
     # ---- occupancy regime (steady state): ~10% occupied grid ----
     occ_cfg = OccConfig(resolution=128, levels=1, near_plane=1e-3, far_plane=1e3)
@@ -164,23 +178,31 @@ def main():
     occ_states = jax.tree.map(
         lambda *xs: jnp.stack(xs), *[occ_state_k(i) for i in range(K)]
     )
-    step_occ = jax.jit(
-        make_meta_train_step(cfg, P, opt, occ_cfg), donate_argnums=(0,)
-    )
-    dt_occ = _bench_step(step_occ, fresh_state(), batch, occ_states, iters)
-    occ_rps = rays_per_step / dt_occ
+    dt_occ, occ_rps = float("inf"), 0.0
+    if "occ" in regimes:
+        step_occ = jax.jit(
+            make_meta_train_step(cfg, P, opt, occ_cfg), donate_argnums=(0,)
+        )
+        dt_occ = _bench_step(step_occ, fresh_state(), batch, occ_states, iters)
+        occ_rps = rays_per_step / dt_occ
 
     # ---- occupancy + global cross-ray sample budget (32 evals/ray avg) ----
-    try:
-        P_budget = types.SimpleNamespace(**{**vars(P), "occ_budget_per_ray": 32})
-        step_budget = jax.jit(
-            make_meta_train_step(cfg, P_budget, opt, occ_cfg),
-            donate_argnums=(0,),
-        )
-        dt_budget = _bench_step(step_budget, fresh_state(), batch, occ_states, iters)
-        budget_rps = rays_per_step / dt_budget
-    except Exception:
-        dt_budget, budget_rps = float("inf"), 0.0
+    dt_budget, budget_rps = float("inf"), 0.0
+    if "budget" in regimes:
+        try:
+            P_budget = types.SimpleNamespace(
+                **{**vars(P), "occ_budget_per_ray": 32}
+            )
+            step_budget = jax.jit(
+                make_meta_train_step(cfg, P_budget, opt, occ_cfg),
+                donate_argnums=(0,),
+            )
+            dt_budget = _bench_step(
+                step_budget, fresh_state(), batch, occ_states, iters
+            )
+            budget_rps = rays_per_step / dt_budget
+        except Exception:
+            pass
 
     # ---- auto-regime pre-switch path (what a REAL run sustains for most of
     # training): strided marching + the would-overflow measurement that the
@@ -188,15 +210,19 @@ def main():
     # denser than this synthetic 10% for the first ~3/4 of a run, so even
     # this is an upper bound on sustained training throughput — the r5
     # flagship sustained 51.6k rays/s here vs the budget path's 110.5k.
-    try:
-        step_auto = jax.jit(
-            make_meta_train_step(cfg, P, opt, occ_cfg, report_budget=32),
-            donate_argnums=(0,),
-        )
-        dt_auto = _bench_step(step_auto, fresh_state(), batch, occ_states, iters)
-        auto_rps = rays_per_step / dt_auto
-    except Exception:
-        dt_auto, auto_rps = float("inf"), 0.0
+    dt_auto, auto_rps = float("inf"), 0.0
+    if "auto" in regimes:
+        try:
+            step_auto = jax.jit(
+                make_meta_train_step(cfg, P, opt, occ_cfg, report_budget=32),
+                donate_argnums=(0,),
+            )
+            dt_auto = _bench_step(
+                step_auto, fresh_state(), batch, occ_states, iters
+            )
+            auto_rps = rays_per_step / dt_auto
+        except Exception:
+            pass
 
     best_rps = max(occ_rps, budget_rps)
     print(
