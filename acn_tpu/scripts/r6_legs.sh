@@ -26,9 +26,12 @@ leg() { # <name> <outfile> <bound> <cmd...>
 for L in $LEGS; do
   case $L in
     baked)
+      # prefix best: params-only checkpoint — half the tunnel upload of
+      # 'last' (no optimizer/occ states; baking never reads them), and the
+      # better serving asset anyway (peak-eval field)
       leg baked logs/bench_render_baked_r6.out 5400 \
         python -m acn_tpu.scripts.bench_render \
-          --checkpoint_path "$RUN" --prefix "$PFX" --frames 2 \
+          --checkpoint_path "$RUN" --prefix best --frames 2 \
           --baked 256 --baked_coarse 32 \
           --skip preview_b4_half_res,preview_b4,preview_half_res,preview,routed_budget,occ_budget,occ,stratified ;;
     eval0)

@@ -95,7 +95,7 @@ if [ "$(remain)" -gt 900 ]; then
   PFX=last; [ -f "$RUN/last.model" ] || PFX=best
   run_leg logs/bench_render_baked_r6.out 5400 \
     python -m acn_tpu.scripts.bench_render \
-      --checkpoint_path "$RUN" --prefix "$PFX" --frames 2 \
+      --checkpoint_path "$RUN" --prefix best --frames 2 \
       --baked 256 --baked_coarse 32 \
       --skip preview_b4_half_res,preview_b4,preview_half_res,preview,routed_budget,occ_budget,occ,stratified
   run_leg logs/r6_eval_best_tto0.out 2400 \
