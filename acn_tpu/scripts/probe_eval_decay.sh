@@ -6,11 +6,11 @@
 # 4-task episodic instrument): run tto=0 full-frame eval on a capped view
 # subset from several step-tagged checkpoints of a finished run.
 #
-# Usage: probe_eval_decay.sh <run_dir> [step ...]   (default: 5000 7500 10000)
+# Usage: probe_eval_decay.sh <run_dir> [step ...]   (default: 2000 4000 6000 8000 10000)
 # Output: logs/probe_decay_step{N}.out ; summary line per step on stdout.
 set -u
 RUN=$1; shift
-STEPS=${*:-"5000 7500 10000"}
+STEPS=${*:-"2000 4000 6000 8000 10000"}
 for S in $STEPS; do
   TAG="step${S}"
   [ -f "$RUN/${TAG}.model" ] || { echo "[probe] $TAG missing in $RUN — skip"; continue; }
