@@ -64,7 +64,7 @@ for L in $LEGS; do
       rm -f logs/.leg_active ;;
     decay)
       touch logs/.leg_active
-      bash acn_tpu/scripts/probe_eval_decay.sh "$RUN" 2000 4000 6000 8000 10000 \
+      bash acn_tpu/scripts/probe_eval_decay.sh "$RUN" \
         > logs/probe_decay_r6.out 2>&1
       say "decay probe → $(tail -4 logs/probe_decay_r6.out | tr '\n' ' ' | tail -c 400)"
       rm -f logs/.leg_active ;;
