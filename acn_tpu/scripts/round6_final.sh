@@ -58,7 +58,10 @@ while ps aux | grep -q "[s]upervise_train.sh r6_flagship"; do
     [ -n "${SUP:-}" ] && kill "$SUP" 2>/dev/null
     if [ -n "${TRAINER:-}" ]; then
       kill -TERM "$TRAINER" 2>/dev/null
-      for i in $(seq 1 40); do
+      # graceful exit = finish step + synchronous 'last' save (~1.3 GB at
+      # ~1 MB/s measured tunnel throughput ⇒ up to ~25 min); killing it
+      # mid-save would strand the round on the older step-tagged saves
+      for i in $(seq 1 120); do
         kill -0 "$TRAINER" 2>/dev/null || break
         sleep 15
       done
