@@ -8,7 +8,7 @@
 #   legs default: baked eval0 eval16 segscan eval128 decay live video
 set -u
 RUN=$1; shift
-LEGS=${*:-"baked eval0 eval16 segscan eval128 decay live video"}
+LEGS=${*:-"baked eval0 eval16 segscan bakedq eval128 decay live video"}
 PFX=last; [ -f "$RUN/last.model" ] || PFX=best
 say() { echo "[legs $(date +%H:%M:%S)] $*"; }
 leg() { # <name> <outfile> <bound> <cmd...>
@@ -67,6 +67,22 @@ for L in $LEGS; do
       bash acn_tpu/scripts/probe_eval_decay.sh "$RUN" \
         > logs/probe_decay_r6.out 2>&1
       say "decay probe → $(tail -4 logs/probe_decay_r6.out | tr '\n' ' ' | tail -c 400)"
+      rm -f logs/.leg_active ;;
+    bakedq)
+      # baked-vs-live quality delta (VERDICT item 1, second half): persist
+      # the asset with --op bake (compile warm from the baked bench leg),
+      # then score the 62 val views from the table at tto=0; compare
+      # against logs/r6_eval_best_tto0.out
+      touch logs/.leg_active
+      timeout 3000 python -u nerf_runner.py --op bake \
+        --checkpoint_path "$RUN" --prefix best --bake_resolution 256 \
+        --fname r6_bake > logs/r6_bake.out 2>&1
+      say "bake rc=$? → $(tail -1 logs/r6_bake.out | tail -c 200)"
+      timeout 3000 python -u nerf_runner.py --op eval \
+        --configPath configs/eval.json --checkpoint_path "$RUN" \
+        --prefix best --baked_asset logs/r6_bake/baked_256.npz \
+        --tto 0 --fname r6_eval_baked > logs/r6_eval_baked.out 2>&1
+      say "baked eval rc=$? → $(tail -2 logs/r6_eval_baked.out | tr '\n' ' ' | tail -c 250)"
       rm -f logs/.leg_active ;;
     live)
       leg live logs/bench_render_live_r6.out 2700 \
