@@ -45,7 +45,8 @@ RUN=$1
   echo
   echo '## Mid-train eval trajectory (episodic 4-task instrument, stratified)'
   echo '```'
-  grep "\[eval\]" "$RUN/log.txt" 2>/dev/null | awk 'NR % 5 == 1' | tail -12
+  { grep "\[eval\]" "$RUN/log.txt" 2>/dev/null \
+      || grep "\[eval\]" "${RUN}_supervisor.log" 2>/dev/null; } | tail -15
   echo '```'
   echo
   echo '## Pallas segscan on the training hot path (budget regime fwd+bwd, flagship scale)'
