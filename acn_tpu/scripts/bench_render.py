@@ -74,6 +74,11 @@ def main(argv=None):
                          "(N*s_max occupancy gathers) rival the trilinear "
                          "lookups at tight budgets, so this is the other "
                          "half of the baked FPS equation")
+    ap.add_argument("--save_baked", type=str, default="",
+                    help="also persist the baked table built for the baked "
+                         "regimes as an .npz (same format as --op bake), so "
+                         "one restore+bake serves both this benchmark and a "
+                         "later --op eval --baked_asset quality run")
     ap.add_argument("--segscan_ab", action="store_true",
                     help="A/B the packed-compositing scan backends end-to-end "
                          "through the full serving renderer: render one "
@@ -289,6 +294,18 @@ def main(argv=None):
         out["bake_s"] = round(time.perf_counter() - t0, 1)
         out["baked_res"] = int(args.baked)
         out["baked_mb"] = round(baked["table"].nbytes / 2**20, 1)
+        # progress line the moment the bake lands: on the remote-TPU tunnel
+        # the first baked-variant compile can take tens of minutes, and a
+        # bounded run that dies there should still record the bake cost
+        print(json.dumps({"bake_s": out["bake_s"],
+                          "baked_mb": out["baked_mb"]}), flush=True)
+        if args.save_baked:
+            from acn_tpu.pipelines.baking import save_baked
+
+            os.makedirs(os.path.dirname(args.save_baked) or ".",
+                        exist_ok=True)
+            save_baked(args.save_baked, baked)
+            print(json.dumps({"saved_baked": args.save_baked}), flush=True)
         br = BakedRenderer(baked, s_max=args.baked_smax,
                            budget_per_ray=args.baked_budget,
                            chunk_points=args.chunk_points)

@@ -11,12 +11,15 @@ import json
 import pytest
 
 
-def test_bench_render_baked_leg_tiny(capsys):
+def test_bench_render_baked_leg_tiny(capsys, tmp_path):
+    from acn_tpu.pipelines.baking import load_baked
     from acn_tpu.scripts import bench_render
 
+    npz = tmp_path / "baked_16.npz"
     bench_render.main([
         "--hw", "24", "32", "--frames", "1",
         "--baked", "16", "--baked_coarse", "4", "--baked_smax", "32",
+        "--save_baked", str(npz),
         "--skip",
         "preview_b4_half_res,preview_b4,preview_half_res,preview,"
         "routed_budget,occ_budget,occ,stratified",
@@ -28,6 +31,10 @@ def test_bench_render_baked_leg_tiny(capsys):
     for key in ("baked_fps", "baked_half_res_fps", "baked_coarse_fps"):
         assert key in out and out[key] > 0, key
     assert out["bake_s"] > 0 and out["baked_res"] == 16
+    # --save_baked persisted a loadable asset (one restore+bake serves both
+    # the FPS bench and the --op eval --baked_asset quality leg)
+    baked = load_baked(npz)
+    assert baked["table"].shape[0] == 16 ** 3
 
 
 def test_bench_render_one_live_regime_tiny(capsys):
