@@ -36,14 +36,16 @@ sum with boundaries shifted to segment ends, so ``seg_excl_sum`` is a
 ``jax.custom_vjp`` that calls itself on ``g[::-1]``.
 
 Dispatch: ``seg_excl_sum(x, seg_start, backend=...)`` with backends
-  * ``"xla"``       — the associative_scan spelling (default in production
-                      until the Mosaic build is validated on real TPU; the
-                      axon relay was down for all of round 4, so the kernel
-                      has only been exercised in interpret mode so far);
-  * ``"pallas"``    — the Mosaic kernel;
+  * ``"xla"``       — the associative_scan spelling (default off-TPU, and
+                      the production fallback via ``ACN_TPU_SEGSCAN=xla``);
+  * ``"pallas"``    — the Mosaic kernel (default on real TPU since the
+                      on-chip validation: fwd microbench 2.2–5.9× vs XLA +
+                      pixel-identical serving frame, bwd through the full
+                      budget-regime meta-train step — BASELINE.md r5/r6);
   * ``"interpret"`` — the same kernel body in the Pallas interpreter (CPU
                       test suites);
-  * ``"auto"``      — honors ``ACN_TPU_SEGSCAN`` env var, else "xla".
+  * ``"auto"``      — honors ``ACN_TPU_SEGSCAN`` env var, else pallas on
+                      TPU / xla elsewhere (see ``resolve_backend``).
 ``scripts/bench_segscan.py`` measures pallas-vs-xla on hardware.
 """
 
@@ -203,8 +205,22 @@ def _seg_excl_sum_xla(x, seg_start):
 
 
 def resolve_backend(backend: str = "auto") -> str:
+    """"auto" → env override if set, else the Mosaic kernel on real TPU
+    (validated on-chip round 5/6: forward microbench 2.2–5.9× vs the XLA
+    scan + pixel-identical e2e serving frame; backward through the full
+    budget-regime meta-train step at flagship scale — BASELINE.md), XLA
+    elsewhere (CPU test suites run the kernel via "interpret" explicitly).
+    ``ACN_TPU_SEGSCAN=xla`` remains the production fallback switch."""
     if backend == "auto":
-        backend = os.environ.get("ACN_TPU_SEGSCAN", "xla")
+        backend = os.environ.get("ACN_TPU_SEGSCAN", "")
+        if not backend:
+            try:
+                import jax
+
+                on_tpu = jax.default_backend() == "tpu"
+            except Exception:
+                on_tpu = False
+            backend = "pallas" if (on_tpu and _HAVE_PLTPU) else "xla"
     if backend not in ("xla", "pallas", "interpret"):
         raise ValueError(f"unknown segscan backend {backend!r}")
     return backend

@@ -419,6 +419,13 @@ def op_eval(ctx):
         ctx["baked_renderer"] = BakedRenderer(
             load_baked(P.baked_asset),
             budget_per_ray=int(getattr(P, "occ_budget_per_ray", 0) or 24),
+            # --occ_render_s_max: same flag the live serving renderer uses.
+            # NOTE round-6 measured XLA-TPU compile times for baked frame
+            # programs: budget 4 / s_max 32 blocks compile in minutes;
+            # budget 24 / s_max 128 blocks sat >43 min in
+            # backend_compile_and_load (BASELINE.md round-6) — keep eval
+            # marchers in the proven class on the remote-tunnel platform.
+            s_max=int(getattr(P, "occ_render_s_max", 0) or 128),
             chunk_points=int(P.chunk_points),
             bg_color=P.bg_color_default,
             s_coarse=int(getattr(P, "occ_render_s_coarse", 0) or 0),

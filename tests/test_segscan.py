@@ -126,3 +126,18 @@ def test_jit_and_under_composite_flag():
     np.testing.assert_allclose(
         f(x, starts), _seg_excl_sum_xla(x, starts), rtol=1e-6, atol=1e-5
     )
+
+
+def test_resolve_backend_default_is_platform_aware(monkeypatch):
+    """Production default: pallas on real TPU (on-chip validated, BASELINE
+    r5/r6), xla elsewhere; ACN_TPU_SEGSCAN always wins."""
+    from acn_tpu.ops.segscan import resolve_backend
+
+    monkeypatch.delenv("ACN_TPU_SEGSCAN", raising=False)
+    expected = "pallas" if jax.default_backend() == "tpu" else "xla"
+    assert resolve_backend("auto") == expected
+    monkeypatch.setenv("ACN_TPU_SEGSCAN", "xla")
+    assert resolve_backend("auto") == "xla"
+    monkeypatch.setenv("ACN_TPU_SEGSCAN", "pallas")
+    assert resolve_backend("auto") == "pallas"
+    assert resolve_backend("interpret") == "interpret"
