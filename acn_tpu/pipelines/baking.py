@@ -42,7 +42,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from acn_tpu.nerfs.render import bg_default_color, composite_packed
+from acn_tpu.nerfs.render import (
+    bg_default_color,
+    composite,
+    composite_packed,
+    render_weights_from_density,
+)
 from acn_tpu.occupancy import grid as occ_grid
 from acn_tpu.occupancy.grid import OccConfig
 
@@ -382,7 +387,52 @@ def render_baked_rays(
     the same convention as render_expert_occ_budget. ``s_coarse`` enables
     the coarse range-finding pre-pass (occupancy/grid.coarse_ray_range):
     spend s_coarse cheap bin tests to concentrate s_max fine bins on the
-    occupied span — lets serving run a much smaller s_max."""
+    occupied span — lets serving run a much smaller s_max.
+
+    ``budget_per_ray=0`` switches to the UNBIASED per-ray strided marcher
+    (march_rays, even-stride compaction to ``s_max`` kept samples) — the
+    same escape hatch training grew in round 5: on dense occupancy the
+    global budget pack drops valid samples batch-tail-first, which in a
+    frame render shows up as background-filled row tails (round-6: the
+    real field's baked grid budget-starved full-image eval down to
+    5.45 dB; strided scoring is bias-free at any density). Use budget for
+    FPS-critical preview, strided for quality scoring."""
+    if budget_per_ray == 0:
+        samples = occ_grid.march_rays(
+            baked["occ_state"], rays, baked["occ_cfg"],
+            max(s_max * 4, 128), s_max, key=key,
+        )
+        x = samples["positions"]  # (N, S, 3)
+        flat = x.reshape(-1, 3)
+        if "table_z" in baked:
+            v = trilinear_lookup_zpair(
+                baked["table_z"], baked["aabb"], baked["resolution"], flat
+            ).astype(jnp.float32)
+        else:
+            v = trilinear_lookup(
+                baked["table"], baked["aabb"], baked["resolution"], flat
+            ).astype(jnp.float32)
+        v = v.reshape(x.shape[0], x.shape[1], -1)
+        if int(baked.get("sh_degree", 0)) == 1:
+            d = jnp.broadcast_to(rays[:, None, 3:6], x.shape).reshape(-1, 3)
+            rgbs = decode_sh1(v.reshape(-1, v.shape[-1])[:, :12], d).reshape(
+                x.shape[0], x.shape[1], 3)
+        else:
+            rgbs = v[..., :3]
+        sigmas = jnp.maximum(v[..., -1], 0.0)
+        mask = samples["mask"]
+        if alpha_thre > 0.0:
+            dt = jnp.maximum(samples["dts"], 0.0)
+            alpha = 1.0 - jnp.exp(-sigmas * dt)
+            mask = mask & (alpha >= alpha_thre)
+        weights, _ = render_weights_from_density(
+            samples["t_starts"], samples["t_ends"], sigmas,
+            sample_mask=mask, dts=samples["dts"],
+        )
+        t_mid = 0.5 * (samples["t_starts"] + samples["t_ends"])
+        rgb_map, depth, acc = composite(weights, rgbs, t_mid, bg_rgb=bg_rgb)
+        return rgb_map, depth, weights, acc
+
     samples = occ_grid.march_rays_budget(
         baked["occ_state"], rays, baked["occ_cfg"], s_max, budget_per_ray,
         key=key, s_coarse=s_coarse,
@@ -496,7 +546,8 @@ class BakedRenderer:
     def render_image(self, *, H: int, W: int, intrinsics, c2w,
                      key=None, near_far_override=None, download: bool = True,
                      mesh=None):
-        rows = max(self.chunk_points // (self.budget * W), 1)
+        per_ray = self.budget if self.budget > 0 else self.s_max
+        rows = max(self.chunk_points // (per_ray * W), 1)
         fn, n_dev = self._fn(W, rows, mesh)
         rows_disp = rows * n_dev
         arrs = {k: self.baked[k] for k in ("table", "aabb", "occ_state")

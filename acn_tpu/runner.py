@@ -416,9 +416,14 @@ def op_eval(ctx):
         # baked-vs-live quality delta at real scale
         from acn_tpu.pipelines.baking import BakedRenderer, load_baked
 
+        # budget 0 (the config default) = the UNBIASED per-ray strided
+        # marcher — the right default for a quality protocol: on dense
+        # baked grids the global budget pack drops samples tail-first
+        # (round-6: 5.45 dB at budget 4 vs strided scoring). Set
+        # --occ_budget_per_ray > 0 for FPS-style budget marching.
         ctx["baked_renderer"] = BakedRenderer(
             load_baked(P.baked_asset),
-            budget_per_ray=int(getattr(P, "occ_budget_per_ray", 0) or 24),
+            budget_per_ray=int(getattr(P, "occ_budget_per_ray", 0) or 0),
             # --occ_render_s_max: same flag the live serving renderer uses.
             # NOTE round-6 measured XLA-TPU compile times for baked frame
             # programs: budget 4 / s_max 32 blocks compile in minutes;

@@ -74,3 +74,49 @@ def test_eval_protocol_scores_baked_asset(tmp_path):
     res16 = runtime_evaluate(ctx, tto=16)
     assert res16["psnr"] > 35.0
     assert any("TTO does not apply" in l for l in logger.lines)
+
+
+def test_strided_baked_render_survives_dense_occupancy():
+    """Round-6 regression: on a DENSE baked occupancy grid the global
+    budget pack drops valid samples batch-tail-first (frame rows fall to
+    background — 5.45 dB on the real field); budget_per_ray=0 switches
+    render_baked_rays to the unbiased per-ray strided marcher, which must
+    stay faithful at any grid density."""
+
+    def field_fn(xd):
+        x = xd[:, :3]
+        sig = jnp.where(jnp.abs(x[:, 0]) < 0.8, 6.0, 0.0)  # thick slab
+        return sig, jnp.broadcast_to(
+            jnp.asarray([0.2, 0.7, 0.3]), (xd.shape[0], 3))
+
+    # occ_thre tiny → the baked grid is ~fully dense inside the AABB
+    baked = bake_field(field_fn, AABB, 33, bake_dirs=2, chunk=8192,
+                       occ_resolution=16, occ_thre=1e-6)
+    H = W = 16
+    intr = np.array([0.8 * H, 0.8 * H, W / 2, H / 2], np.float32)
+    c2w = np.array([[0.0, 0.0, -1.0, -2.5],
+                    [0.0, 1.0, 0.0, 0.0],
+                    [1.0, 0.0, 0.0, 0.0]], np.float32)
+
+    # generous strided reference (the quality protocol marcher)
+    br_strided = BakedRenderer(baked, s_max=64, budget_per_ray=0,
+                               chunk_points=4096)
+    rgb_s, _, acc_s = br_strided.render_image(H=H, W=W, intrinsics=intr,
+                                              c2w=c2w)
+    # a starved budget on the dense grid: tail rays lose their samples
+    br_starved = BakedRenderer(baked, s_max=64, budget_per_ray=2,
+                               chunk_points=4096)
+    rgb_b, _, acc_b = br_starved.render_image(H=H, W=W, intrinsics=intr,
+                                              c2w=c2w)
+
+    # central rays traverse the slab: strided composites to ~full opacity
+    # (frustum-edge rays exit the AABB early — exclude them)
+    ctr = (slice(H // 4, 3 * H // 4), slice(W // 4, 3 * W // 4))
+    acc_s2 = np.asarray(acc_s).reshape(H, W)[ctr]
+    acc_b2 = np.asarray(acc_b).reshape(H, W)[ctr]
+    assert float(np.mean(acc_s2)) > 0.9
+    # the starved budget demonstrably loses coverage vs strided
+    assert float(np.mean(acc_b2)) < float(np.mean(acc_s2)) - 0.2
+    # and the strided render matches the field color where opaque
+    center = np.asarray(rgb_s).reshape(H, W, 3)[H // 2, W // 2]
+    assert np.allclose(center, [0.2, 0.7, 0.3], atol=0.1)
