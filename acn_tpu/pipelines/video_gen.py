@@ -19,6 +19,31 @@ from typing import Dict, Optional
 
 import numpy as np
 
+
+def _write_video(out_path: str, frames, fps: int, logger) -> str:
+    """Encode frames to MP4 via imageio/libx264; on hosts without an
+    ffmpeg backend (this zero-install image has none), fall back to an
+    animated GIF via Pillow so a 20-minute render is never lost to the
+    encoder (round-6: 36 rendered frames died at iio.imwrite)."""
+    import imageio.v3 as iio
+
+    try:
+        iio.imwrite(out_path, np.stack(frames), fps=fps, codec="libx264",
+                    quality=8)
+        logger.log(f"[video] wrote {out_path}")
+        return out_path
+    except Exception as e:  # no ffmpeg/pyav backend
+        logger.log(f"[video] mp4 encode unavailable ({type(e).__name__}); "
+                   "falling back to GIF via Pillow")
+    from PIL import Image
+
+    gif_path = str(Path(out_path).with_suffix(".gif"))
+    ims = [Image.fromarray(f) for f in frames]
+    ims[0].save(gif_path, save_all=True, append_images=ims[1:],
+                duration=max(int(1000 / fps), 20), loop=0)
+    logger.log(f"[video] wrote {gif_path} ({len(frames)} frames)")
+    return gif_path
+
 UP_WORLD = np.array([-1.0, 0.0, 0.0], np.float32)  # −D is up in DRB
 
 
@@ -265,10 +290,7 @@ def render_video(ctx, n_poses: int = 120, fps: int = 30) -> str:
             if (i + 1) % 10 == 0:
                 logger.log(f"[video:{path}:baked] frame {i + 1}/{len(poses)}")
         out_path = str(Path(logger.logdir) / f"{path}_baked.mp4")
-        iio.imwrite(out_path, np.stack(frames), fps=fps, codec="libx264",
-                    quality=8)
-        logger.log(f"[video] wrote {out_path}")
-        return out_path
+        return _write_video(out_path, frames, fps, logger)
 
     renderer = Renderer(ctx["cfg"], P, ctx["occ_cfg"])
     use_occ = ctx["occ_cfg"] is not None and ctx["occ_states"] is not None
@@ -294,6 +316,4 @@ def render_video(ctx, n_poses: int = 120, fps: int = 30) -> str:
             logger.log(f"[video:{path}] frame {i + 1}/{len(poses)}")
 
     out_path = str(Path(logger.logdir) / f"{path}.mp4")
-    iio.imwrite(out_path, np.stack(frames), fps=fps, codec="libx264", quality=8)
-    logger.log(f"[video] wrote {out_path}")
-    return out_path
+    return _write_video(out_path, frames, fps, logger)

@@ -466,7 +466,8 @@ def op_eval(ctx):
 def op_video(ctx):
     from acn_tpu.pipelines.video_gen import render_video
 
-    return render_video(ctx)
+    n = int(getattr(ctx["P"], "video_frames", 0) or 120)
+    return render_video(ctx, n_poses=n)
 
 
 def op_view(ctx):

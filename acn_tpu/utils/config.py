@@ -328,6 +328,11 @@ def build_parser() -> argparse.ArgumentParser:
         default="full_coverage",
         choices=["spiral_in", "turntable", "east_west", "north_south", "full_coverage"],
     )
+    parser.add_argument(
+        "--video_frames", type=int, default=120,
+        help="poses along --camera_path for --op video (reference "
+             "video_gen.py renders a fixed-length path; this exposes the "
+             "length — e.g. 36 for a quick turntable preview)")
     parser.add_argument("--viewer_timeout", type=int, default=900)
     parser.add_argument("--viewer_public_host", type=str, default="127.0.0.1")
 

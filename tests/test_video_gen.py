@@ -65,3 +65,23 @@ def test_suppress_fog_masks_low_confidence():
     np.testing.assert_allclose(rgb[:4], 0.5, atol=1e-6)
     np.testing.assert_allclose(rgb[4:], 1.0, atol=1e-6)
     assert stats["pct_low"] == 0.5
+
+
+def test_write_video_encoder_fallback(tmp_path):
+    """Zero-install hosts have no ffmpeg backend: _write_video must still
+    persist the rendered frames (GIF via Pillow) instead of raising after
+    a long render (round-6: 36 frames died at iio.imwrite)."""
+    from pathlib import Path
+
+    import numpy as np
+
+    from acn_tpu.pipelines.video_gen import _write_video
+
+    class _L:
+        def log(self, m):
+            pass
+
+    frames = [np.full((8, 8, 3), i * 40, np.uint8) for i in range(4)]
+    out = _write_video(str(tmp_path / "clip.mp4"), frames, fps=10,
+                       logger=_L())
+    assert Path(out).exists() and Path(out).stat().st_size > 0
