@@ -24,6 +24,14 @@ import types
 
 
 def main(argv=None):
+    import faulthandler
+
+    try:  # SIGUSR1 → stack dump (diagnose silent tunnel-blocked compiles)
+        import signal
+
+        faulthandler.register(signal.SIGUSR1)
+    except Exception:
+        pass
     import jax
 
     jax.config.update(
